@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (wedge-parallel triangle count)
+on sf0.001; `queries()` exposes every implemented operator as
+(spark, sf_dir) -> DataFrame; `oracle_sql()` gives the DuckDB-runnable
+ANSI-SQL equivalent for each.
 """
 
 from __future__ import annotations
@@ -13,26 +12,77 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wedge_parallel_triangle_counting_spark.operators.graph import (
+    degrees,
+    normalize_edges,
+    prepare_oriented,
+    symmetrize,
+)
+from wedge_parallel_triangle_counting_spark.operators.triangles import (
+    triangle_count,
+    wedge_stats,
+)
+from wedge_parallel_triangle_counting_spark.plans import oracles, testdata
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact wedge-parallel triangle count of the graph
+    derived from sf0.001 lineitem."""
+    edges = testdata.derived_edges(spark, SF0001)
+    return triangle_count(edges, strategy="wedge")
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degrees(symmetrize(normalize_edges(testdata.derived_edges(spark, sf_dir))))
+
+
+def _q_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oriented, _, _ = prepare_oriented(testdata.derived_edges(spark, sf_dir))
+    return oriented
+
+
+def _q_tri(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return triangle_count(testdata.derived_edges(spark, sf_dir), strategy=strategy)
+
+    return run
+
+
+def _q_wedge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wedge_stats(testdata.derived_edges(spark, sf_dir))
+
+
+def _q_hub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    deg = degrees(symmetrize(normalize_edges(testdata.derived_edges(spark, sf_dir))))
+    return deg.orderBy(F.desc("degree"), F.asc("v")).limit(10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "graph_degrees": _q_degrees,
+        "graph_orient": _q_orient,
+        "graph_wedge_stats": _q_wedge_stats,
+        "graph_hub_topk": _q_hub_topk,
+        "triangles_wedge": _q_tri("wedge"),
+        "triangles_vertex": _q_tri("vertex"),
+        "triangles_edge": _q_tri("edge"),
+        "triangles_join": _q_tri("join"),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tri = oracles.triangles_sql()
+    return {
+        "graph_degrees": oracles.degrees_sql(),
+        "graph_orient": oracles.orient_sql(),
+        "graph_wedge_stats": oracles.wedge_stats_sql(),
+        "graph_hub_topk": oracles.hub_topk_sql(),
+        "triangles_wedge": tri,
+        "triangles_vertex": tri,
+        "triangles_edge": tri,
+        "triangles_join": tri,
+    }

@@ -1,0 +1,75 @@
+"""Unit tests for the edge-table preprocessing operators (SURVEY §2.2,
+O2, J4, A1) on hand-computed graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wedge_parallel_triangle_counting_spark.operators import graph as G
+
+from .conftest import DIRTY_K3, K3, STAR10, edges_df
+
+
+def test_normalize_one_indexed(spark):
+    df = edges_df(spark, [(1, 2), (2, 3)])
+    out = G.normalize_edges(df, one_indexed=True).collect()
+    assert sorted((r.src, r.dst) for r in out) == [(0, 1), (1, 2)]
+
+
+def test_symmetrize_cleans_dirty_input(spark):
+    sym = G.symmetrize(edges_df(spark, DIRTY_K3))
+    rows = sorted((r.src, r.dst) for r in sym.collect())
+    assert rows == [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)]
+
+
+def test_degrees_star(spark):
+    sym = G.symmetrize(edges_df(spark, STAR10))
+    deg = {r.v: r.degree for r in G.degrees(sym).collect()}
+    assert deg[0] == 10
+    assert all(deg[i] == 1 for i in range(1, 11))
+
+
+def test_degree_rank_is_permutation_and_ordered(spark):
+    sym = G.symmetrize(edges_df(spark, STAR10 + K3))
+    deg = G.degrees(sym)
+    for method in ("window", "scalable"):
+        ranks = G.degree_rank(deg, method=method).collect()
+        got = sorted(r.rank for r in ranks)
+        assert got == list(range(len(ranks)))
+        # ascending degree order: hub (vertex 0, degree 12) must get max rank
+        by_v = {r.v: r.rank for r in ranks}
+        assert by_v[0] == len(ranks) - 1
+
+
+def test_scalable_rank_matches_window_rank(spark):
+    sym = G.symmetrize(edges_df(spark, DIRTY_K3 + STAR10 + [(20, 21), (21, 22)]))
+    deg = G.degrees(sym).persist()
+    w = {r.v: r.rank for r in G.degree_rank(deg, "window").collect()}
+    s = {r.v: r.rank for r in G.degree_rank(deg, "scalable").collect()}
+    assert w == s
+
+
+def test_orientation_halves_edges(spark):
+    # reference invariant: numEdges halved after orientation (tc.cu:729)
+    sym = G.symmetrize(edges_df(spark, K3 + STAR10))
+    m_sym = sym.count()
+    oriented, _, n = G.prepare_oriented(edges_df(spark, K3 + STAR10))
+    assert oriented.count() == m_sym // 2
+    assert n == G.degrees(sym).count()
+    # oriented edges all point low rank -> high rank
+    assert oriented.filter(F.col("src") >= F.col("dst")).count() == 0
+
+
+def test_orient_by_degree_same_count(spark):
+    df = edges_df(spark, K3 + STAR10)
+    sym = G.symmetrize(df)
+    o1 = G.orient_by_degree(sym, G.degrees(sym)).count()
+    o2, _, _ = G.prepare_oriented(df)
+    assert o1 == o2.count()
+
+
+def test_adjacency_sorted(spark):
+    oriented, _, _ = G.prepare_oriented(edges_df(spark, K3 + STAR10))
+    for row in G.adjacency(oriented).collect():
+        assert list(row.adj) == sorted(row.adj)
+        assert row.deg == len(row.adj)

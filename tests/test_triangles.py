@@ -1,0 +1,94 @@
+"""Triangle-count correctness: golden graphs, cross-strategy agreement
+(the reference's 12 binaries cross-check, SURVEY §5), relabel
+invariance, and random-graph differential tests."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from wedge_parallel_triangle_counting_spark.operators.triangles import (
+    triangle_count,
+    wedge_stats,
+)
+
+from .conftest import GOLDEN_TRIANGLES, edges_df
+
+STRATEGIES = ["wedge", "vertex", "edge", "join"]
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_TRIANGLES))
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_golden(spark, name, strategy):
+    pairs, expected = GOLDEN_TRIANGLES[name]
+    got = triangle_count(edges_df(spark, pairs), strategy=strategy).collect()[0][0]
+    assert got == expected, (name, strategy)
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for a, b in und
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+
+
+def _random_graph(seed, n, m):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_random_graph_all_strategies_agree(spark, seed):
+    pairs = _random_graph(seed, 60, 400)
+    expected = _brute_triangles(pairs)
+    df = edges_df(spark, pairs)
+    for strategy in STRATEGIES:
+        got = triangle_count(df, strategy=strategy).collect()[0][0]
+        assert got == expected, strategy
+
+
+def test_relabel_invariance(spark):
+    # count invariant under vertex relabeling (SURVEY §5 property test)
+    pairs = _random_graph(3, 40, 200)
+    base = triangle_count(edges_df(spark, pairs)).collect()[0][0]
+    shifted = [(a * 13 + 1000, b * 13 + 1000) for a, b in pairs]
+    assert triangle_count(edges_df(spark, shifted)).collect()[0][0] == base
+
+
+def test_wedge_small_split_budget(spark):
+    # hub splitting correctness: force many chunks per vertex
+    pairs = _random_graph(11, 30, 300)
+    expected = _brute_triangles(pairs)
+    got = triangle_count(
+        edges_df(spark, pairs), strategy="wedge", split_budget=4, hub_k=8
+    ).collect()[0][0]
+    assert got == expected
+
+
+def test_wedge_join_closure(spark):
+    pairs = _random_graph(13, 50, 350)
+    expected = _brute_triangles(pairs)
+    got = triangle_count(
+        edges_df(spark, pairs), strategy="wedge", closure="join"
+    ).collect()[0][0]
+    assert got == expected
+
+
+def test_wedge_stats_k3(spark):
+    row = wedge_stats(edges_df(spark, [(0, 1), (1, 2), (0, 2)])).collect()[0]
+    assert row.n == 3
+    assert row.m_oriented == 3
+    # oriented K3: out-degrees 2,1,0 -> wedges 1
+    assert row.total_wedges == 1
+    assert row.max_degree == 2

@@ -1,0 +1,186 @@
+"""Canonical edge-table operators.
+
+Re-expresses the reference's preprocessing dataflow
+(`/root/reference/tc.cu:561-787`: parse → self-loop filter →
+symmetrize → sort/dedup → degree count → degree-ascending reorder →
+relabel → orient → CSR) as DataFrame algebra. Every step is a plain
+relational operator that Catalyst optimizes; no Python in the loop.
+
+Scale notes (the target is ~10^12 pages / 10^13 edges):
+- symmetrize+dedup is one shuffle (hash distinct, partial agg first);
+- degrees is a two-phase hash aggregation;
+- the degree-rank permutation (reference `tc.cu:697-723`) is a global
+  order — a naive `row_number()` window serializes through ONE task.
+  `degree_rank(method="scalable")` instead range-partitions by
+  (degree, v), sorts within partitions, and adds per-partition offsets
+  (classic zipWithIndex two-pass) so rank assignment is fully parallel.
+- relabel is two shuffled equi-joins against the rank dictionary
+  (`tc.cu:718-723,740-751`); the dictionary has one row per vertex so
+  it is NOT broadcastable at web scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_edges(
+    df: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    one_indexed: bool = False,
+) -> DataFrame:
+    """Cast endpoints to long and optionally shift 1-indexed input to
+    0-indexed (reference `-z` flag handling, tc.cu:599-605)."""
+    s = F.col(src).cast("long")
+    d = F.col(dst).cast("long")
+    if one_indexed:
+        s, d = s - F.lit(1), d - F.lit(1)
+    return df.select(s.alias("src"), d.alias("dst"))
+
+
+def drop_self_loops(df: DataFrame) -> DataFrame:
+    """Self-loop filter (reference tc.cu:607-619, P1)."""
+    return df.filter(F.col("src") != F.col("dst"))
+
+
+def dedup_edges(df: DataFrame) -> DataFrame:
+    """Duplicate-edge elimination (reference tc.cu:652-670, P3).
+    Hash-based distinct — Catalyst plans partial+final aggregation, the
+    distributed analogue of the reference's sort-then-scan dedup."""
+    return df.dropDuplicates(["src", "dst"])
+
+
+def symmetrize(df: DataFrame) -> DataFrame:
+    """Undirected semantics: emit both directions then dedup
+    (reference tc.cu:611-618, P2/U1). Input may be dirty (self loops,
+    duplicates); output is a clean symmetric simple graph."""
+    clean = drop_self_loops(df)
+    flipped = clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return dedup_edges(clean.unionByName(flipped))
+
+
+def degrees(sym: DataFrame) -> DataFrame:
+    """Per-vertex degree of a symmetric edge table → (v, degree).
+    (reference A1, tc.cu:660-670). Two-phase hash agg."""
+    return sym.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("degree"))
+
+
+def degree_rank(deg: DataFrame, method: str = "scalable") -> DataFrame:
+    """Degree-ascending dense rank permutation → (v, rank), rank 0-based.
+
+    The reference sorts vertices by degree with ties broken by original
+    id (tc.cu:697-723, O2) and relabels so that edge orientation
+    low-rank→high-rank bounds the search-side degree. Ranks are a
+    permutation of 0..n-1.
+
+    method="window" uses a global row_number() window — correct but
+    single-task at the sort boundary, fine for tests.
+    method="scalable" (default) is the two-pass zipWithIndex pattern:
+    range-partition by the sort key, sort within partitions, count rows
+    per partition, broadcast the cumulative offsets, and add
+    per-partition local indexes — no single-task bottleneck.
+    """
+    if method == "window":
+        w = Window.orderBy("degree", "v")
+        return deg.select("v", (F.row_number().over(w) - F.lit(1)).alias("rank"))
+
+    npart = max(deg.sparkSession.sparkContext.defaultParallelism, 8)
+    parted = (
+        deg.repartitionByRange(npart, "degree", "v")
+        .sortWithinPartitions("degree", "v")
+        .persist()
+    )
+    # Pass 1: rows per physical partition (partitioning is materialized
+    # by persist(), so partition ids are stable across the two passes).
+    counts = {
+        r["pid"]: r["count"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = deg.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_rank(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = boff.value.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            out = pd.DataFrame(
+                {"v": pdf["v"].values, "rank": range(base + seen, base + seen + n)}
+            )
+            seen += n
+            yield out
+
+    ranked = parted.mapInPandas(add_rank, schema="v long, rank long")
+    return ranked
+
+
+def relabel(sym: DataFrame, ranks: DataFrame) -> DataFrame:
+    """Map both endpoints through the (v → rank) permutation
+    (reference J4, tc.cu:718-723,740-751): two shuffled equi-joins."""
+    r_src = ranks.withColumnRenamed("v", "src").withColumnRenamed("rank", "src_rank")
+    r_dst = ranks.withColumnRenamed("v", "dst").withColumnRenamed("rank", "dst_rank")
+    return (
+        sym.join(r_src, "src")
+        .join(r_dst, "dst")
+        .select(F.col("src_rank").alias("src"), F.col("dst_rank").alias("dst"))
+    )
+
+
+def orient(sym_ranked: DataFrame) -> DataFrame:
+    """Degree-ordered edge orientation (reference P4, tc.cu:740-751):
+    keep only rank(src) < rank(dst). Halves the symmetric edge count
+    (tc.cu:729) and makes every triangle counted exactly once — the
+    wedge center is always the lowest-ranked vertex."""
+    return sym_ranked.filter(F.col("src") < F.col("dst"))
+
+
+def orient_by_degree(sym: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orientation WITHOUT global relabeling: keep edges pointing from
+    low (degree, id) to high (degree, id). Same triangle semantics as
+    `relabel`+`orient` but keeps original vertex ids — two degree joins
+    instead of a global rank (cheaper when ranks aren't needed
+    downstream). Mirrors `experiments/tc_base.cu:640-651` generalized
+    to degree order."""
+    d_src = deg.select(F.col("v").alias("src"), F.col("degree").alias("d_src"))
+    d_dst = deg.select(F.col("v").alias("dst"), F.col("degree").alias("d_dst"))
+    joined = sym.join(d_src, "src").join(d_dst, "dst")
+    keep = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return joined.filter(keep).select("src", "dst")
+
+
+def prepare_oriented(edges: DataFrame, rank_method: str = "scalable") -> tuple[DataFrame, DataFrame, int]:
+    """Full preprocessing pipeline: dirty edges → (oriented edges in
+    rank space, rank dictionary, n). The rank space is 0..n-1 so the
+    closure probe can use integer edge keys src*n+dst.
+
+    Equivalent of reference read_graph+preprocess (tc.cu:561-787)."""
+    sym = symmetrize(normalize_edges(edges))
+    deg = degrees(sym)
+    ranks = degree_rank(deg, method=rank_method)
+    n = ranks.count()
+    oriented = orient(relabel(sym, ranks))
+    return oriented, ranks, n
+
+
+def adjacency(oriented: DataFrame) -> DataFrame:
+    """Grouped adjacency layout → (v, adj sorted array, deg)
+    (reference CSR build, tc.cu:658-677 + segmented sort tc.cu:763-784).
+    One shuffle (groupBy v); sort_array is the segmented adjacency sort."""
+    return oriented.groupBy(F.col("src").alias("v")).agg(
+        F.sort_array(F.collect_list("dst")).alias("adj"),
+        F.count("*").alias("deg"),
+    )

@@ -1,0 +1,68 @@
+"""Derived graphs over the driver's TPC-H-ish parquet testdata.
+
+The correctness harness compares every Spark query against DuckDB SQL
+over the same parquet files, so graph inputs are DERIVED
+deterministically from those tables: foreign-key pairs folded into one
+vertex id space with a modulus. Both sides (Spark here, SQL in
+`oracles.py`) use the identical derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Default derivation: lineitem (orderkey, partkey) folded mod a prime.
+# At sf0.01 (~60k lineitem rows) this gives a dense-ish multigraph on
+# ≤601 vertices with plenty of triangles, duplicate edges, and skew.
+TRI_MODULUS = 601
+# Sparser graph for iterative algorithms (PageRank / CC / LP): fewer
+# edges per vertex keeps unrolled SQL oracles tractable.
+ITER_MODULUS = 499
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def derived_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    modulus: int = TRI_MODULUS,
+    table: str = "lineitem",
+    a: str = "l_orderkey",
+    b: str = "l_partkey",
+) -> DataFrame:
+    """Deterministic dirty edge table (self loops + duplicates included
+    — the preprocessing pipeline must clean them, as the reference
+    parser does at tc.cu:599-670)."""
+    df = load(spark, sf_dir, table)
+    return df.select(
+        (F.col(a) % modulus).alias("src"), (F.col(b) % modulus).alias("dst")
+    )
+
+
+def derived_edges_sql(
+    modulus: int = TRI_MODULUS,
+    table: str = "lineitem",
+    a: str = "l_orderkey",
+    b: str = "l_partkey",
+) -> str:
+    """The same derivation as ANSI SQL (DuckDB oracle side)."""
+    return f"SELECT {a} % {modulus} AS src, {b} % {modulus} AS dst FROM {table}"
+
+
+def derived_pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph for PageRank: orders (custkey → orderkey) folded."""
+    df = load(spark, sf_dir, "orders")
+    return df.select(
+        (F.col("o_custkey") % ITER_MODULUS).alias("src"),
+        (F.col("o_orderkey") % ITER_MODULUS).alias("dst"),
+    )
+
+
+def derived_pagerank_edges_sql() -> str:
+    return (
+        f"SELECT o_custkey % {ITER_MODULUS} AS src, "
+        f"o_orderkey % {ITER_MODULUS} AS dst FROM orders"
+    )
