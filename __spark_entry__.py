@@ -18,11 +18,21 @@ from wedge_parallel_triangle_counting_spark.operators.graph import (
     prepare_oriented,
     symmetrize,
 )
+from wedge_parallel_triangle_counting_spark.operators.components import (
+    connected_components,
+)
+from wedge_parallel_triangle_counting_spark.operators.labelprop import (
+    label_propagation,
+)
+from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
 from wedge_parallel_triangle_counting_spark.operators.triangles import (
     triangle_count,
     wedge_stats,
 )
 from wedge_parallel_triangle_counting_spark.plans import oracles, testdata
+
+PAGERANK_ITERS = 5
+LABELPROP_ITERS = 3
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -61,6 +71,25 @@ def _q_hub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.orderBy(F.desc("degree"), F.asc("v")).limit(10)
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pr = pagerank(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_iters=PAGERANK_ITERS
+    )
+    return pr.select("v", F.round("pr", 6).alias("pr"))
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
+def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_propagation(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_iters=LABELPROP_ITERS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -71,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_vertex": _q_tri("vertex"),
         "triangles_edge": _q_tri("edge"),
         "triangles_join": _q_tri("join"),
+        "pagerank": _q_pagerank,
+        "components": _q_components,
+        "labelprop": _q_labelprop,
     }
 
 
@@ -85,4 +117,11 @@ def oracle_sql() -> dict[str, str]:
         "triangles_vertex": tri,
         "triangles_edge": tri,
         "triangles_join": tri,
+        "pagerank": oracles.pagerank_sql(
+            testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
+        ),
+        "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
+        "labelprop": oracles.labelprop_sql(
+            testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
+        ),
     }

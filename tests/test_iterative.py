@@ -1,0 +1,165 @@
+"""PageRank / connected components / label propagation: numpy oracle,
+golden graphs, checkpoint/resume, cross-strategy agreement."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from wedge_parallel_triangle_counting_spark.operators.components import (
+    connected_components,
+)
+from wedge_parallel_triangle_counting_spark.operators.labelprop import (
+    label_propagation,
+)
+from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
+
+from .conftest import BARBELL, K3, TWO_COMP, edges_df
+
+
+def numpy_pagerank(pairs, num_iters, damping=0.85):
+    e = sorted(set(pairs))
+    vs = sorted({a for a, _ in e} | {b for _, b in e})
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    outdeg = np.zeros(n)
+    for a, _ in e:
+        outdeg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(num_iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        for a, b in e:
+            contrib[idx[b]] += r[idx[a]] / outdeg[idx[a]]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in vs}
+
+
+def _random_directed(seed, n, m):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_pagerank_matches_numpy(spark, seed):
+    pairs = _random_directed(seed, 40, 200)
+    want = numpy_pagerank(pairs, 8)
+    got = {r.v: r.pr for r in pagerank(edges_df(spark, pairs), num_iters=8).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_dangling_mass(spark):
+    # 0 -> 1, 1 has no out-edges: dangling redistribution must kick in
+    got = {r.v: r.pr for r in pagerank(edges_df(spark, [(0, 1)]), num_iters=20).collect()}
+    want = numpy_pagerank([(0, 1)], 20)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+
+
+def test_pagerank_tol_early_stop(spark):
+    both = K3 + [(b, a) for a, b in K3]  # symmetric directed closure
+    df = edges_df(spark, both)
+    got = pagerank(df, num_iters=50, tol=1e-12).collect()
+    # symmetric K3: uniform 1/3 fixpoint
+    for r in got:
+        assert abs(r.pr - 1.0 / 3) < 1e-9
+
+
+def test_pagerank_resume(spark, tmp_path):
+    pairs = _random_directed(5, 30, 120)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "pr")
+    # crash after 3 iterations (durable snapshots at it 0 and 2)
+    pagerank(df, num_iters=3, checkpoint_dir=ckpt, checkpoint_every=2)
+    resumed = {
+        r.v: r.pr
+        for r in pagerank(
+            df, num_iters=6, checkpoint_dir=ckpt, checkpoint_every=2, resume=True
+        ).collect()
+    }
+    direct = {r.v: r.pr for r in pagerank(df, num_iters=6).collect()}
+    assert set(resumed) == set(direct)
+    for v in direct:
+        assert abs(resumed[v] - direct[v]) < 1e-12
+
+
+def test_components_golden(spark):
+    comp = {
+        r.v: r.component
+        for r in connected_components(edges_df(spark, TWO_COMP)).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+    comp_b = {
+        r.v: r.component
+        for r in connected_components(edges_df(spark, BARBELL)).collect()
+    }
+    assert set(comp_b.values()) == {0}
+
+
+@pytest.mark.parametrize("seed", [4, 17])
+def test_components_strategies_agree(spark, seed):
+    pairs = _random_directed(seed, 80, 90)  # sparse -> several components
+    df = edges_df(spark, pairs)
+    a = {r.v: r.component for r in connected_components(df, strategy="hashmin").collect()}
+    b = {r.v: r.component for r in connected_components(df, strategy="star").collect()}
+    assert a == b
+    # oracle: min id per component via union-find
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in pairs:
+        if s != d:
+            parent[find(s)] = find(d)
+    comp_min = {}
+    verts = {x for p in pairs if p[0] != p[1] for x in p}
+    for v in verts:
+        root = find(v)
+        comp_min[root] = min(comp_min.get(root, v), v)
+    want = {v: comp_min[find(v)] for v in verts}
+    assert a == want
+
+
+def test_components_resume(spark, tmp_path):
+    pairs = _random_directed(8, 60, 70)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "cc")
+    connected_components(df, max_iters=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed = {
+        r.v: r.component
+        for r in connected_components(
+            df, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    direct = {r.v: r.component for r in connected_components(df).collect()}
+    assert resumed == direct
+
+
+def test_labelprop_k3_converges_to_min(spark):
+    got = {r.v: r.label for r in label_propagation(edges_df(spark, K3), 3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_labelprop_two_components_independent(spark):
+    got = {
+        r.v: r.label for r in label_propagation(edges_df(spark, TWO_COMP), 4).collect()
+    }
+    assert set(got[v] for v in (0, 1, 2)) == {0}
+    assert set(got[v] for v in (10, 11, 12)) == {10}
+
+
+def test_labelprop_deterministic_across_runs(spark):
+    pairs = _random_directed(21, 50, 200)
+    df = edges_df(spark, pairs)
+    a = {r.v: r.label for r in label_propagation(df, 3).collect()}
+    b = {r.v: r.label for r in label_propagation(df, 3).collect()}
+    assert a == b

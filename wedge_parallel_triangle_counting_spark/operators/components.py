@@ -1,0 +1,171 @@
+"""Connected components: HashMin label propagation to fixpoint.
+
+label(v) starts at v; each iteration takes the min of the vertex's own
+label and its neighbors' labels over the symmetrized edge set;
+converges in O(diameter) rounds to component = min vertex id in the
+component (the oracle's reachability definition).
+
+Also `components_twophase`: the large-star/small-star trick
+(Kiveris et al., "Connected Components in MapReduce and Beyond") which
+contracts paths doubly-logarithmically — the right choice on web-scale
+graphs whose diameter is large; exposed as strategy="star".
+
+Per-iteration cost: one join + one agg, same key (v) — static edge
+side pre-partitioned and persisted. Lineage truncated per iteration;
+durable checkpoint + manifest on cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpointing import CheckpointedLoop
+from .graph import normalize_edges, symmetrize
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    strategy: str = "hashmin",
+    partition_stats: bool = False,
+) -> DataFrame:
+    """Returns DataFrame [v: long, component: long] (component = min
+    vertex id in the component). Isolated vertices don't exist here —
+    the vertex set is induced by the edge table."""
+    if strategy == "star":
+        return _components_star(
+            edges, max_iters, checkpoint_dir, checkpoint_every, resume
+        )
+    if strategy != "hashmin":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    verts = sym.select(F.col("src").alias("v")).distinct()
+
+    loop = CheckpointedLoop(
+        spark,
+        "components",
+        checkpoint_dir,
+        checkpoint_every,
+        collect_partition_stats=partition_stats,
+    )
+    start = 0
+    labels = None
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            labels, start = got
+    if labels is None:
+        labels = verts.select("v", F.col("v").alias("component"))
+
+    for it in range(start, max_iters):
+        # min over self label and neighbor labels
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .select(F.col("src").alias("v"), F.col("component").alias("c"))
+            .groupBy("v")
+            .agg(F.min("c").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "v")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .count()
+        )
+        new_labels = loop.step(new_labels, it, changed=changed)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("v", "component")
+
+
+def _components_star(
+    edges: DataFrame,
+    max_iters: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction. State is the
+    parent pointer table; converges when the edge relation is a star
+    forest. Doubly-logarithmic rounds — preferred at 100 TB scale."""
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    loop = CheckpointedLoop(spark, "components_star", checkpoint_dir, checkpoint_every)
+
+    # undirected pair set, canonical (large, small) per row
+    e = (
+        symmetrize(normalize_edges(edges))
+        .filter(F.col("src") > F.col("dst"))  # one canonical row per edge
+        .repartition(npart, "src")
+    )
+    cur = e
+    start = 0
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            cur, start = got
+
+    for it in range(start, max_iters):
+        # large-star: for each u, connect all strictly-larger neighbors
+        # to min(neighborhood ∪ {u})
+        nbrs = cur.select("src", "dst").unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+        large = (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.least("mn", F.col("src")).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: for each u, connect all smaller-or-equal neighbors
+        # to the min
+        nbrs2 = large.select("src", "dst").unionByName(
+            large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        small_nbrs = nbrs2.filter(F.col("dst") < F.col("src")).unionByName(
+            nbrs2.select(F.col("src"), F.col("src").alias("dst")).distinct()
+        )
+        mins2 = small_nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+        small = (
+            small_nbrs.join(mins2, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_cur = small.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        # converged when edge set stable
+        diff = new_cur.exceptAll(cur).count() + cur.exceptAll(new_cur).count()
+        new_cur = loop.step(new_cur, it, diff=diff)
+        cur = new_cur
+        if diff == 0:
+            break
+
+    # parent table: every vertex points to its component min
+    verts = (
+        symmetrize(normalize_edges(edges)).select(F.col("src").alias("v")).distinct()
+    )
+    parents = cur.select(F.col("src").alias("v"), F.col("dst").alias("component"))
+    return (
+        verts.join(parents, "v", "left")
+        .select("v", F.coalesce("component", F.col("v")).alias("component"))
+    )

@@ -1,0 +1,71 @@
+"""Synchronous label propagation (community detection).
+
+Deterministic semantics (mirrored by the unrolled SQL oracle):
+- graph: clean symmetric simple graph (self loops dropped, dedup);
+- label_0(v) = v;
+- each iteration, every vertex adopts the most frequent label among
+  its neighbors, ties broken by SMALLEST label (so the algorithm is a
+  pure function of the graph — no randomness, per the determinism
+  invariant of FIXTURES.md §5);
+- runs a fixed number of iterations (LPA oscillates; fixed-k is the
+  reproducible contract).
+
+Per-iteration: join labels to edges on dst, count (v, label) pairs,
+pick argmax via a (v)-partitioned row_number window — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .checkpointing import CheckpointedLoop
+from .graph import normalize_edges, symmetrize
+
+
+def label_propagation(
+    edges: DataFrame,
+    num_iters: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    partition_stats: bool = False,
+) -> DataFrame:
+    """Returns DataFrame [v: long, label: long]."""
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    verts = sym.select(F.col("src").alias("v")).distinct()
+
+    loop = CheckpointedLoop(
+        spark,
+        "labelprop",
+        checkpoint_dir,
+        checkpoint_every,
+        collect_partition_stats=partition_stats,
+    )
+    start = 0
+    labels = None
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            labels, start = got
+    if labels is None:
+        labels = verts.select("v", F.col("v").alias("label"))
+
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+    for it in range(start, num_iters):
+        votes = (
+            sym.join(labels, sym.dst == labels.v)
+            .select(F.col("src").alias("v"), "label")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+        new_labels = loop.step(new_labels, it)
+        labels = new_labels
+    return labels.select("v", "label")

@@ -1,0 +1,121 @@
+"""PageRank power iteration as a checkpointed DataFrame loop.
+
+Semantics (mirrored exactly by the unrolled SQL oracle in
+plans/oracles.py):
+- graph: DISTINCT directed edges (parallel edges collapse; self loops
+  kept — they are ordinary links for PageRank);
+- vertices: all endpoints;
+- r_0(v) = 1/N;
+- r_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N)
+  where dangling_k = Σ_{outdeg(u)=0} r_k(u). Total mass stays 1.
+
+Scale design: per-iteration cost is one shuffled join (ranks ⋈ edges
+on src) + one aggregation (groupBy dst) — both keyed the same way, so
+pre-partitioning `edges` by src and persisting lets every iteration
+reuse the same exchange on the static side. `localCheckpoint` every
+iteration stops the lineage/plan from growing with k (iterative
+lineage blowup, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpointing import CheckpointedLoop
+
+
+def _prepare(edges: DataFrame):
+    e = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    outdeg = (
+        verts.join(
+            e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg")),
+            "v",
+            "left",
+        ).select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+    )
+    return e, outdeg
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iters: int = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
+    partition_stats: bool = False,
+) -> DataFrame:
+    """Returns DataFrame [v: long, pr: double]. Runs `num_iters`
+    iterations, or stops earlier when the L1 delta falls below `tol`
+    (if given). Resumable from `checkpoint_dir`."""
+    spark = edges.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    e, outdeg = _prepare(edges)
+    # Static sides of the per-iteration join: partition once, reuse.
+    e = e.repartition(npart, "src").persist()
+    outdeg = outdeg.repartition(npart, "v").persist()
+    n = outdeg.count()
+    if n == 0:
+        return spark.createDataFrame([], "v long, pr double")
+
+    loop = CheckpointedLoop(
+        spark,
+        "pagerank",
+        checkpoint_dir,
+        checkpoint_every,
+        collect_partition_stats=partition_stats,
+    )
+    start = 0
+    ranks = None
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            ranks, start = got
+    if ranks is None:
+        ranks = outdeg.select("v", F.lit(1.0 / n).alias("pr"))
+
+    base = (1.0 - damping) / n
+    for it in range(start, num_iters):
+        r = ranks.join(outdeg, "v")
+        dangling = (
+            r.filter(F.col("outdeg") == 0).agg(F.coalesce(F.sum("pr"), F.lit(0.0))).collect()[0][0]
+        )
+        contribs = (
+            e.join(r.filter(F.col("outdeg") > 0), e.src == F.col("v"))
+            .select(F.col("dst").alias("v"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            outdeg.join(contribs, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("pr"),
+            )
+        )
+        delta = None
+        if tol is not None:
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "v")
+                .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))))
+                .collect()[0][0]
+            )
+        new_ranks = loop.step(new_ranks, it, dangling=dangling, l1_delta=delta)
+        ranks = new_ranks
+        if tol is not None and delta is not None and delta < tol:
+            break
+    return ranks.select("v", "pr")

@@ -87,3 +87,105 @@ def hub_topk_sql(raw_sql: str | None = None, k: int = 10) -> str:
         _graph_cte(raw_sql)
         + f"\nSELECT v, degree FROM deg ORDER BY degree DESC, v LIMIT {k}"
     )
+
+
+def pagerank_sql(raw_sql: str, num_iters: int, damping: float = 0.85, ndigits: int = 6) -> str:
+    """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
+    DuckDB's recursive CTEs can't aggregate over the recursive
+    relation, so the power iteration is generated iteration by
+    iteration. Semantics identical to operators/pagerank.py.
+    Output rounded to `ndigits` so Spark/DuckDB float noise doesn't
+    break the driver's exact value-hash."""
+    d = damping
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        "vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vs)",
+        """od AS (
+            SELECT vs.v, coalesce(o.outdeg, 0) AS outdeg
+            FROM vs LEFT JOIN (
+                SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src
+            ) o ON o.v = vs.v
+        )""",
+        "r0 AS (SELECT v, 1.0 / nn.n AS pr FROM vs CROSS JOIN nn)",
+    ]
+    for i in range(1, num_iters + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+            SELECT od.v AS v,
+                   (1.0 - {d}) / nn.n
+                   + {d} * (coalesce(c.contrib, 0.0) + dang.dangling / nn.n) AS pr
+            FROM od
+            CROSS JOIN nn
+            CROSS JOIN (
+                SELECT coalesce(sum(p.pr), 0.0) AS dangling
+                FROM {prev} p JOIN od ON od.v = p.v WHERE od.outdeg = 0
+            ) dang
+            LEFT JOIN (
+                SELECT e.dst AS v, sum(p.pr / od.outdeg) AS contrib
+                FROM e
+                JOIN {prev} p ON p.v = e.src
+                JOIN od ON od.v = e.src
+                GROUP BY e.dst
+            ) c ON c.v = od.v
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(pr, {ndigits}) AS pr FROM r{num_iters}"
+    )
+
+
+def components_sql(raw_sql: str) -> str:
+    """Component = min reachable vertex id, via recursive reachability
+    closure — independent of our HashMin formulation."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+vs AS (SELECT DISTINCT src AS v FROM sym),
+walk(v, root) AS (
+    SELECT v, v FROM vs
+    UNION
+    SELECT e.dst AS v, walk.root
+    FROM walk JOIN sym e ON e.src = walk.v
+)
+SELECT v, min(root) AS component FROM walk GROUP BY v
+""".strip()
+
+
+def labelprop_sql(raw_sql: str, num_iters: int) -> str:
+    """Synchronous LPA with min-label tie-break, iterations unrolled."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        """sym AS (
+            SELECT src, dst FROM clean
+            UNION
+            SELECT dst AS src, src AS dst FROM clean
+        )""",
+        "l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym)",
+    ]
+    for i in range(1, num_iters + 1):
+        prev = f"l{i - 1}"
+        ctes.append(
+            f"""l{i} AS (
+            SELECT v, label FROM (
+                SELECT s.src AS v, p.label AS label,
+                       row_number() OVER (
+                           PARTITION BY s.src
+                           ORDER BY count(*) DESC, p.label ASC
+                       ) AS rn
+                FROM sym s JOIN {prev} p ON p.v = s.dst
+                GROUP BY s.src, p.label
+            ) t WHERE rn = 1
+        )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{num_iters}"
