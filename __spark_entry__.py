@@ -71,6 +71,32 @@ def _q_hub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.orderBy(F.desc("degree"), F.asc("v")).limit(10)
 
 
+def _q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages
+    from wedge_parallel_triangle_counting_spark.plans.ingest import extract_text
+
+    return extract_text(doc_pages(spark, sf_dir))
+
+
+def _q_ingest_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        extract_links,
+        url_dictionary,
+    )
+
+    pages = doc_pages(spark, sf_dir)
+    return url_dictionary(pages, extract_links(pages))
+
+
+def _q_ingest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages
+    from wedge_parallel_triangle_counting_spark.plans.ingest import pages_to_edges
+
+    edges, _ = pages_to_edges(doc_pages(spark, sf_dir))
+    return edges
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -103,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "components": _q_components,
         "labelprop": _q_labelprop,
+        "ingest_extract": _q_ingest_extract,
+        "ingest_dictionary": _q_ingest_dictionary,
+        "ingest_edges": _q_ingest_edges,
     }
 
 
@@ -124,4 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "labelprop": oracles.labelprop_sql(
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
         ),
+        "ingest_extract": oracles.ingest_extract_sql(),
+        "ingest_dictionary": oracles.ingest_dictionary_sql(),
+        "ingest_edges": oracles.ingest_edges_sql(),
     }

@@ -1,0 +1,79 @@
+"""Ingest pipeline: byte-identical extraction, deterministic
+generation, dictionary + edge correctness, end-to-end pages→triangles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wedge_parallel_triangle_counting_spark.operators.triangles import triangle_count
+from wedge_parallel_triangle_counting_spark.plans import ingest
+from wedge_parallel_triangle_counting_spark.sources.pages import synth_pages
+
+
+def test_extracted_text_byte_identical(spark):
+    pages = synth_pages(spark, 64).persist()
+    got = ingest.extract_text(pages)
+    joined = pages.select("url", F.col("text").alias("want")).join(got, "url")
+    mismatches = joined.filter(F.col("text") != F.col("want")).count()
+    assert mismatches == 0
+    assert got.count() == 64
+
+
+def test_extraction_deterministic_across_partitioning(spark):
+    pages = synth_pages(spark, 100)
+    a = {r.url: r.text for r in ingest.extract_text(pages.repartition(1)).collect()}
+    b = {r.url: r.text for r in ingest.extract_text(pages.repartition(17)).collect()}
+    assert a == b
+
+
+def test_generation_deterministic(spark):
+    a = synth_pages(spark, 50).orderBy("url").collect()
+    b = synth_pages(spark, 50).orderBy("url").collect()
+    assert [(r.url, bytes(r.html), r.text, r.lang) for r in a] == [
+        (r.url, bytes(r.html), r.text, r.lang) for r in b
+    ]
+
+
+def test_links_resolve_to_existing_pages(spark):
+    pages = synth_pages(spark, 64).persist()
+    links = ingest.extract_links(pages)
+    assert links.count() > 64  # avg_links≈8 per page, minus self-links
+    urls = {r.url for r in pages.select("url").collect()}
+    targets = {r.dst_url for r in links.select("dst_url").distinct().collect()}
+    assert targets <= urls  # generator links only to generated pages
+
+
+def test_dictionary_dense_and_deterministic(spark):
+    pages = synth_pages(spark, 64).persist()
+    links = ingest.extract_links(pages).persist()
+    d1 = {r.url: r.id for r in ingest.url_dictionary(pages, links).collect()}
+    d2 = {r.url: r.id for r in ingest.url_dictionary(pages, links).collect()}
+    assert d1 == d2
+    assert sorted(d1.values()) == list(range(len(d1)))
+    # ordered by url
+    assert [u for u, _ in sorted(d1.items(), key=lambda kv: kv[1])] == sorted(d1)
+
+
+def test_pages_to_edges_matches_html(spark):
+    pages = synth_pages(spark, 64).persist()
+    edges, dictionary = ingest.pages_to_edges(pages)
+    d = {r.url: r.id for r in dictionary.collect()}
+    # expected edge set recomputed in python from the html bytes
+    import re
+
+    want = set()
+    for r in pages.collect():
+        html = bytes(r.html).decode("utf-8")
+        for m in re.finditer(r'<a href="([^"]+)">', html):
+            want.add((d[r.url], d[m.group(1)]))
+    got = {(r.src, r.dst) for r in edges.distinct().collect()}
+    assert got == want
+
+
+def test_end_to_end_pages_to_triangles(spark):
+    pages = synth_pages(spark, 128).persist()
+    edges, _ = ingest.pages_to_edges(pages)
+    wedge = triangle_count(edges, strategy="wedge").collect()[0][0]
+    join = triangle_count(edges, strategy="join").collect()[0][0]
+    assert wedge == join
+    assert wedge > 0  # skewed generator produces triangles

@@ -21,9 +21,6 @@ Scale notes (the target is ~10^12 pages / 10^13 edges):
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,41 +86,11 @@ def degree_rank(deg: DataFrame, method: str = "scalable") -> DataFrame:
         w = Window.orderBy("degree", "v")
         return deg.select("v", (F.row_number().over(w) - F.lit(1)).alias("rank"))
 
-    npart = max(deg.sparkSession.sparkContext.defaultParallelism, 8)
-    parted = (
-        deg.repartitionByRange(npart, "degree", "v")
-        .sortWithinPartitions("degree", "v")
-        .persist()
+    from .ids import assign_contiguous_ids
+
+    return assign_contiguous_ids(deg, ["degree", "v"], id_col="rank").select(
+        "v", "rank"
     )
-    # Pass 1: rows per physical partition (partitioning is materialized
-    # by persist(), so partition ids are stable across the two passes).
-    counts = {
-        r["pid"]: r["count"]
-        for r in parted.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    boff = deg.sparkSession.sparkContext.broadcast(offsets)
-
-    def add_rank(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = boff.value.get(pid, 0)
-        seen = 0
-        for pdf in it:
-            n = len(pdf)
-            out = pd.DataFrame(
-                {"v": pdf["v"].values, "rank": range(base + seen, base + seen + n)}
-            )
-            seen += n
-            yield out
-
-    ranked = parted.mapInPandas(add_rank, schema="v long, rank long")
-    return ranked
 
 
 def relabel(sym: DataFrame, ranks: DataFrame) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Contiguous id assignment at scale (the url→vertex-id dictionary of
+the north rule, and the degree-rank permutation both reduce to this).
+
+A global `row_number()` window funnels every row through one task at
+the sort boundary — the classic antipattern at 10^12 rows (SURVEY
+§7.3). This is the two-pass zipWithIndex pattern instead:
+
+1. range-partition by the order key and sort within partitions
+   (distributed sort, like any shuffle sort);
+2. count rows per physical partition (cheap agg), prefix-sum the
+   counts on the driver (one tiny array), broadcast the offsets;
+3. per-partition local index + offset inside `mapInPandas`.
+
+The partitioned+sorted frame is persisted so the partition ids seen by
+pass 2 and pass 3 are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 0-based id column following the total order of
+    `order_cols` (which must be a unique key of `df`)."""
+    spark = df.sparkSession
+    npart = npartitions or max(spark.sparkContext.defaultParallelism, 8)
+    parted = (
+        df.repartitionByRange(npart, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    counts = {
+        r["pid"]: r["count"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # df.schema is cached on the DataFrame and StructType.add mutates
+    # in place — build a fresh StructType to avoid corrupting it.
+    out_schema = StructType(
+        list(parted.schema.fields) + [StructField(id_col, LongType())]
+    )
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = boff.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(add_ids, schema=out_schema)

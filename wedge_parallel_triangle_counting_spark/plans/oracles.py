@@ -9,6 +9,7 @@ values after sorting columns by name.
 
 from __future__ import annotations
 
+from .docpages import doc_pages_sql
 from .testdata import TRI_MODULUS, derived_edges_sql
 
 
@@ -189,3 +190,46 @@ def labelprop_sql(raw_sql: str, num_iters: int) -> str:
         )"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{num_iters}"
+
+
+# -- ingest pipeline oracles (over the documents-derived pages table) --
+
+_INGEST_CTE = """
+WITH pages AS ({pages}),
+links AS (
+    SELECT url AS src_url,
+           unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS dst_url
+    FROM pages
+),
+urls AS (SELECT url FROM pages UNION SELECT dst_url AS url FROM links),
+dict AS (
+    SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS id
+    FROM urls
+)
+""".strip()
+
+
+def ingest_extract_sql() -> str:
+    return f"""
+WITH pages AS ({doc_pages_sql()})
+SELECT url, regexp_extract(html, '(?s)<main>(.*?)</main>', 1) AS text
+FROM pages
+""".strip()
+
+
+def ingest_dictionary_sql() -> str:
+    return (
+        _INGEST_CTE.format(pages=doc_pages_sql()) + "\nSELECT url, id FROM dict"
+    )
+
+
+def ingest_edges_sql() -> str:
+    return (
+        _INGEST_CTE.format(pages=doc_pages_sql())
+        + """
+SELECT ds.id AS src, dd.id AS dst
+FROM links
+JOIN dict ds ON ds.url = links.src_url
+JOIN dict dd ON dd.url = links.dst_url
+"""
+    )
