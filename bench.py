@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Methodology mirrors the reference's timing protocol (tc.cu:894-913):
+a warm-up action runs first and is discarded; each query is then timed
+end-to-end (plan construction + execution to a driver-side result).
+
+The triangle bench uses a sparser sf-scaled graph than the correctness
+queries (modulus 100003 instead of 601) so the workload is
+shuffle/probe-bound rather than a dense toy; edges/sec is reported
+against the oriented edge count, the same normalization the reference
+README uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from wedge_parallel_triangle_counting_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from wedge_parallel_triangle_counting_spark.operators.labelprop import (  # noqa: E402
+    label_propagation,
+)
+from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank  # noqa: E402
+from wedge_parallel_triangle_counting_spark.operators.triangles import (  # noqa: E402
+    triangle_count,
+)
+from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages  # noqa: E402
+from wedge_parallel_triangle_counting_spark.plans.ingest import pages_to_edges  # noqa: E402
+from wedge_parallel_triangle_counting_spark.session import get_spark  # noqa: E402
+
+BENCH_MODULUS = 100003
+
+
+def bench_edges(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") % BENCH_MODULUS).alias("src"),
+        (F.col("l_partkey") % BENCH_MODULUS).alias("dst"),
+    )
+
+
+def pr_edges(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        (F.col("o_custkey") % 49999).alias("src"),
+        (F.col("o_orderkey") % 49999).alias("dst"),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app_name="wetric-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (discarded, reference discards run 0): JVM, parquet scan,
+    # and the Python UDF workers
+    import pandas as pd
+
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    bench_edges(spark, sf_dir).count()
+    spark.range(100_000).repartition(32).mapInPandas(
+        lambda it: (pd.DataFrame({"x": [1]}) for _ in it), "x long"
+    ).count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        # drop persisted frames the query pipeline cached so queries
+        # don't contend for executor memory with each other
+        spark.catalog.clearCache()
+        return out
+
+    e = bench_edges(spark, sf_dir)
+    tri = timed(
+        "triangles_wedge", lambda: triangle_count(e, strategy="wedge").collect()[0][0]
+    )
+    extra["triangles"] = tri
+    timed("triangles_edge", lambda: triangle_count(e, strategy="edge").collect()[0][0])
+
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        degrees,
+        normalize_edges,
+        orient_by_degree,
+        symmetrize,
+    )
+
+    sym = symmetrize(normalize_edges(e))
+    m_oriented = orient_by_degree(sym, degrees(sym)).count()
+    extra["m_oriented"] = m_oriented
+    extra["tri_edges_per_sec"] = round(m_oriented / timings["triangles_wedge"], 1)
+
+    pe = pr_edges(spark, sf_dir)
+    timed("pagerank_5it", lambda: pagerank(pe, num_iters=5).count())
+    timed("components", lambda: connected_components(pe).count())
+    timed("labelprop_3it", lambda: label_propagation(pe, num_iters=3).count())
+    timed("ingest_edges", lambda: pages_to_edges(doc_pages(spark, sf_dir))[0].count())
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

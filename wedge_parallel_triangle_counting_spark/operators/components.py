@@ -81,13 +81,16 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # materialize first, then check convergence on the checkpointed
+        # state (avoids running the iteration plan twice)
+        new_labels = loop.step(new_labels, it)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "v")
             .filter(F.col("a.component") != F.col("b.component"))
             .count()
         )
-        new_labels = loop.step(new_labels, it, changed=changed)
+        loop.history[-1]["extra"]["changed"] = changed
         labels = new_labels
         if changed == 0:
             break
@@ -153,9 +156,10 @@ def _components_star(
         new_cur = small.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()
-        # converged when edge set stable
+        # materialize first; then test edge-set stability
+        new_cur = loop.step(new_cur, it)
         diff = new_cur.exceptAll(cur).count() + cur.exceptAll(new_cur).count()
-        new_cur = loop.step(new_cur, it, diff=diff)
+        loop.history[-1]["extra"]["diff"] = diff
         cur = new_cur
         if diff == 0:
             break

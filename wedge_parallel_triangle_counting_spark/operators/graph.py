@@ -93,9 +93,19 @@ def degree_rank(deg: DataFrame, method: str = "scalable") -> DataFrame:
     )
 
 
-def relabel(sym: DataFrame, ranks: DataFrame) -> DataFrame:
+# Below this vertex count the rank dictionary is hint-broadcast for the
+# relabel joins (16 B/vertex → ~80 MB at the cap); beyond it the joins
+# shuffle, which is the only option at web scale anyway.
+RELABEL_BROADCAST_MAX = 5_000_000
+
+
+def relabel(sym: DataFrame, ranks: DataFrame, n: int | None = None) -> DataFrame:
     """Map both endpoints through the (v → rank) permutation
-    (reference J4, tc.cu:718-723,740-751): two shuffled equi-joins."""
+    (reference J4, tc.cu:718-723,740-751): two equi-joins — broadcast
+    hash joins when the dictionary is known small (n given), shuffled
+    sort-merge otherwise."""
+    if n is not None and n <= RELABEL_BROADCAST_MAX:
+        ranks = F.broadcast(ranks)
     r_src = ranks.withColumnRenamed("v", "src").withColumnRenamed("rank", "src_rank")
     r_dst = ranks.withColumnRenamed("v", "dst").withColumnRenamed("rank", "dst_rank")
     return (
@@ -135,11 +145,19 @@ def prepare_oriented(edges: DataFrame, rank_method: str = "scalable") -> tuple[D
     closure probe can use integer edge keys src*n+dst.
 
     Equivalent of reference read_graph+preprocess (tc.cu:561-787)."""
-    sym = symmetrize(normalize_edges(edges))
+    # sym feeds both the degree count and the relabel joins — persist
+    # so the symmetrize shuffle runs once.
+    sym = symmetrize(normalize_edges(edges)).persist()
     deg = degrees(sym)
-    ranks = degree_rank(deg, method=rank_method)
-    n = ranks.count()
-    oriented = orient(relabel(sym, ranks))
+    if rank_method == "window":
+        ranks = degree_rank(deg, method="window")
+        n = ranks.count()
+    else:
+        from .ids import assign_contiguous_ids_with_count
+
+        ranked, n = assign_contiguous_ids_with_count(deg, ["degree", "v"], "rank")
+        ranks = ranked.select("v", "rank")
+    oriented = orient(relabel(sym, ranks, n=n))
     return oriented, ranks, n
 
 

@@ -24,14 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_contiguous_ids(
+def assign_contiguous_ids_with_count(
     df: DataFrame,
     order_cols: list[str],
     id_col: str = "id",
     npartitions: int | None = None,
-) -> DataFrame:
-    """Append a dense 0-based id column following the total order of
-    `order_cols` (which must be a unique key of `df`)."""
+) -> tuple[DataFrame, int]:
+    """Like `assign_contiguous_ids` but also returns the total row
+    count, which pass 2 computes anyway — callers that need n (e.g.
+    the rank pipeline) save a full count job."""
     spark = df.sparkSession
     npart = npartitions or max(spark.sparkContext.defaultParallelism, 8)
     parted = (
@@ -69,4 +70,16 @@ def assign_contiguous_ids(
             seen += len(pdf)
             yield pdf
 
-    return parted.mapInPandas(add_ids, schema=out_schema)
+    return parted.mapInPandas(add_ids, schema=out_schema), acc
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Append a dense 0-based id column following the total order of
+    `order_cols` (which must be a unique key of `df`)."""
+    out, _ = assign_contiguous_ids_with_count(df, order_cols, id_col, npartitions)
+    return out

@@ -86,8 +86,10 @@ def pagerank(
     base = (1.0 - damping) / n
     for it in range(start, num_iters):
         r = ranks.join(outdeg, "v")
-        dangling = (
-            r.filter(F.col("outdeg") == 0).agg(F.coalesce(F.sum("pr"), F.lit(0.0))).collect()[0][0]
+        # dangling mass as a 1-row aggregate cross-joined into the plan
+        # — no separate driver action per iteration
+        dangling_df = r.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
             e.join(r.filter(F.col("outdeg") > 0), e.src == F.col("v"))
@@ -97,15 +99,22 @@ def pagerank(
         )
         new_ranks = (
             outdeg.join(contribs, "v", "left")
+            .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / n
+                    )
                 ).alias("pr"),
             )
         )
+        # materialize (localCheckpoint) FIRST; the optional delta check
+        # then reads the checkpointed state instead of re-running the plan
+        new_ranks = loop.step(new_ranks, it)
         delta = None
         if tol is not None:
             delta = (
@@ -114,7 +123,7 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))))
                 .collect()[0][0]
             )
-        new_ranks = loop.step(new_ranks, it, dangling=dangling, l1_delta=delta)
+            loop.history[-1]["extra"]["l1_delta"] = delta
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             break
