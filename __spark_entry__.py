@@ -116,6 +116,64 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_token_count(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        quality_score,
+    )
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -132,6 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "text_token_count": _q_token_count,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_fingerprint": _q_fingerprint,
     }
 
 
@@ -156,4 +222,12 @@ def oracle_sql() -> dict[str, str]:
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),
+        "dedup_exact": oracles.dedup_exact_sql(),
+        "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
+        "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
+        "dedup_simhash": oracles.simhash_sql(),
+        "text_token_count": oracles.token_count_sql(),
+        "text_lang_id": oracles.lang_id_sql(),
+        "text_quality": oracles.quality_score_sql(),
+        "text_fingerprint": oracles.fingerprint_sql(),
     }

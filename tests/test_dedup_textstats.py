@@ -1,0 +1,109 @@
+"""Dedup + text-analysis operators: hand-computed fixtures and
+internal consistency (LSH candidates ⊇ high-jaccard pairs etc.)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from wedge_parallel_triangle_counting_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from wedge_parallel_triangle_counting_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+    (3, "der hund und die katze ist ein tier mit fell", "de"),
+    (4, "completely different words entirely unrelated content here now", "en"),
+    (5, "le chat est un animal et la maison est grande", "fr"),
+    (6, "ab", "en"),  # fewer than 3 tokens -> no shingles
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in DOCS], "doc_id long, text string"
+    )
+
+
+def test_shingles_tiny_doc_empty(spark):
+    sh = shingles(docs_df(spark))
+    assert sh.filter("doc_id = 6").count() == 0
+    # doc 0: 9 tokens -> 7 trigrams, all distinct
+    assert sh.filter("doc_id = 0").count() == 7
+
+
+def test_dedup_exact(spark):
+    rows = dedup_exact(docs_df(spark)).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2
+    assert rows[0].keeper == 0
+    assert rows[0].text_hash == hashlib.md5(DOCS[0][1].encode()).hexdigest()
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_df(spark), threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    # docs 0 and 2: 7 trigrams each, 6 shared -> jaccard = 6/8
+    assert abs(pairs[(0, 2)] - 0.75) < 1e-6
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs_df(spark)).collect()}
+    assert (0, 1) in cands  # identical signature -> all bands agree
+    # no candidate between unrelated docs 3,4,5 and 0
+    assert (0, 4) not in cands
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    s = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    assert s[0] == s[1]
+    # near-dup within small hamming distance of original
+    ham = bin(s[0] ^ s[2]).count("1")
+    assert ham <= 8
+    ham_far = bin(s[0] ^ s[4]).count("1")
+    assert ham_far > ham
+
+
+def test_token_count(spark):
+    c = {r.doc_id: r.n_tokens for r in token_count(docs_df(spark)).collect()}
+    assert c[0] == 9
+    assert c[6] == 1
+
+
+def test_lang_id(spark):
+    langs = {r.doc_id: r.lang_pred for r in lang_id(docs_df(spark)).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[5] == "fr"
+
+
+def test_quality_score_bounds(spark):
+    for r in quality_score(docs_df(spark)).collect():
+        assert 0.0 <= r.score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert r.n_tokens > 0
+
+
+def test_fingerprint_ignores_formatting(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello,  World!"), (1, "hello world"), (2, "other text")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]

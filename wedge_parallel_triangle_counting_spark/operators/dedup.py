@@ -1,0 +1,159 @@
+"""Deduplication operators for a training-data pipeline over the
+`documents` table: exact (hash), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is pure DataFrame algebra (JVM expressions; no Python in
+the hot path) and every computation is mirrored exactly by a DuckDB
+oracle in plans/oracles.py — hash functions are md5-derived so both
+engines produce identical values.
+
+Scale notes:
+- exact dedup = one hash aggregation, the cheapest possible shuffle;
+- n-gram Jaccard builds an inverted index doc↔shingle and self-joins
+  on shingle — the classic candidate-generation join; the shingle key
+  distribution is Zipfian, so the join benefits from AQE skew-split.
+  At web scale, very frequent shingles should be dropped (stop-shingle
+  cutoff) — exposed as `max_shingle_freq`;
+- MinHash+LSH bounds candidate generation: 16 hashes → 4 bands of 4;
+  only docs agreeing on a full band meet in the band-bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _hash64(col):
+    """Deterministic 60-bit int from md5 — reproducible in DuckDB as
+    ('0x' || substr(md5(x), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — DISTINCT token n-grams per document."""
+    toks = _tokens(F.col(text_col))
+    # guard: Spark sequence(1, 0) counts DOWN ([1, 0]); emit an empty
+    # array when the doc has fewer than n tokens
+    positions = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(positions, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, keeper) for groups
+    with >1 member; keeper = min doc_id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact token-n-gram Jaccard similarity:
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
+
+    Inverted-index self-join for candidates, then |A∩B| from the join
+    count and |A∪B| = |A|+|B|−|A∩B| from per-doc set sizes."""
+    sh = shingles(docs, n=n)
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signature: h_i = min over shingles of
+    md5-hash(i || ':' || shingle)."""
+    sh = shingles(docs, n=n)
+    aggs = [
+        F.min(_hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH:
+    (doc_a, doc_b) distinct pairs agreeing on at least one of 4 bands
+    (band signature = md5 of its 4 concatenated minhashes)."""
+    sig = minhash_signatures(docs, n=n).persist()
+    pair_frames = []
+    for b in range(BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band = sig.select(
+            "doc_id",
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
+                "band_sig"
+            ),
+        )
+        x = band.select(F.col("doc_id").alias("doc_a"), "band_sig")
+        y = band.select(F.col("doc_id").alias("doc_b"), "band_sig")
+        pair_frames.append(
+            x.join(y, "band_sig").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — token-level SimHash: bit j is the sign of
+    Σ_tokens (±1 depending on bit j of the token's md5 hash), weighted
+    by token multiplicity."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).withColumn("th", _hash64(F.col("token")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agged = tok.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else (sim + term)
+    return agged.select("doc_id", sim.alias("simhash"))

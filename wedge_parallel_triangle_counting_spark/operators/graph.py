@@ -157,6 +157,9 @@ def prepare_oriented(edges: DataFrame, rank_method: str = "scalable") -> tuple[D
 
         ranked, n = assign_contiguous_ids_with_count(deg, ["degree", "v"], "rank")
         ranks = ranked.select("v", "rank")
+    # the two relabel joins each consume ranks — persist so the rank
+    # assignment (a python-worker pass) runs once, not twice
+    ranks = ranks.persist()
     oriented = orient(relabel(sym, ranks, n=n))
     return oriented, ranks, n
 

@@ -1,0 +1,96 @@
+"""Text-analysis operators for the documents table: token counting,
+language id (stopword heuristic), quality scoring, fingerprinting.
+
+All pure JVM column expressions; each is mirrored exactly by a DuckDB
+oracle (plans/oracles.py). The regex classes used are deliberately
+restricted to constructs with identical semantics in Java regex
+(Spark) and RE2 (DuckDB): `\\s+`, `[^a-z0-9 ]`, ` +`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists (deterministic heuristic, not a
+# linguistic claim); scoring counts DISTINCT stopwords present
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "mit", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "que"],
+    "nl": ["de", "het", "een", "en", "is", "van", "te", "dat", "op", "met"],
+}
+LANG_ORDER = ["en", "de", "fr", "nl"]  # tie-break order
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace tokenization."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — language with the most
+    distinct stopword hits; ties broken by LANG_ORDER."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+        for lang in LANG_ORDER
+    }
+    # argmax with deterministic tie-break: fold over LANG_ORDER
+    best_lang = F.lit(LANG_ORDER[0])
+    best_score = scores[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best_lang.alias("lang_pred"),
+        best_score.cast("long").alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len, punct_ratio, score)
+    — simple length/punctuation quality heuristic with an explicit,
+    oracle-reproducible formula."""
+    t = F.col(text_col)
+    lower = F.lower(t)
+    n_chars = F.length(t).cast("long")
+    toks = _tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    alnum_len = F.length(F.regexp_replace(lower, "[^a-z0-9 ]", ""))
+    punct_ratio = F.round((n_chars - alnum_len) / F.greatest(n_chars, F.lit(1)), 6)
+    mean_tok = F.round(
+        (F.length(F.regexp_replace(t, " +", ""))) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (1.0 - punct_ratio), 6
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("score"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the normalized text (lowercase, strip
+    non-alphanumeric, collapse runs of spaces). Stable under
+    formatting noise; the document-identity key for dedup pipelines."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))

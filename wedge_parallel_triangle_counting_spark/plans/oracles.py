@@ -233,3 +233,172 @@ JOIN dict ds ON ds.url = links.src_url
 JOIN dict dd ON dd.url = links.dst_url
 """
     )
+
+
+# -- training-data pipeline oracles (documents table) --------------------
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+
+_SHINGLE_CTE = r"""
+toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    WHERE len(t) >= 3
+)
+""".strip()
+
+
+def _h64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""".strip()
+
+
+def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.sz + sb.sz - inter) >= {threshold}
+""".strip()
+
+
+def minhash_lsh_sql() -> str:
+    mins = ",\n           ".join(
+        "min(" + _h64(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, md5({cols}) AS band_sig FROM mh")
+    bands_union = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH {_SHINGLE_CTE},
+mh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+""".strip()
+
+
+def simhash_sql(bits: int = 32) -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+),
+th AS (SELECT doc_id, {_h64('token')} AS th FROM tok),
+bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM th GROUP BY doc_id
+)
+SELECT doc_id, ({combine}) AS simhash FROM bits
+""".strip()
+
+
+def token_count_sql() -> str:
+    return r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""".strip()
+
+
+def lang_id_sql() -> str:
+    from ..operators.textstats import LANG_ORDER, STOPWORDS
+
+    score_exprs = {
+        lang: (
+            "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), "
+            + "["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "]))"
+        )
+        for lang in LANG_ORDER
+    }
+    # fold argmax with the same tie-break as the Spark side
+    lang_expr = f"'{LANG_ORDER[0]}'"
+    score_expr = f"s_{LANG_ORDER[0]}"
+    for lang in LANG_ORDER[1:]:
+        lang_expr = f"CASE WHEN s_{lang} > {score_expr} THEN '{lang}' ELSE {lang_expr} END"
+        score_expr = f"CASE WHEN s_{lang} > {score_expr} THEN s_{lang} ELSE {score_expr} END"
+    scores_select = ",\n           ".join(
+        f"{score_exprs[lang]} AS s_{lang}" for lang in LANG_ORDER
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           {scores_select}
+    FROM documents
+)
+SELECT doc_id, {lang_expr} AS lang_pred, CAST({score_expr} AS BIGINT) AS lang_score
+FROM scored
+""".strip()
+
+
+def quality_score_sql() -> str:
+    return r"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum_len,
+           length(regexp_replace(text, ' +', '', 'g')) AS nospace_len
+    FROM documents
+),
+ratios AS (
+    SELECT doc_id, n_chars, n_tokens,
+           round(nospace_len / greatest(n_tokens, 1), 6) AS mean_token_len,
+           round((n_chars - alnum_len) / greatest(n_chars, 1), 6) AS punct_ratio
+    FROM base
+)
+SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio), 6) AS score
+FROM ratios
+""".strip()
+
+
+def fingerprint_sql() -> str:
+    return r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+FROM documents
+""".strip()
