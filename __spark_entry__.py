@@ -174,6 +174,59 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_lsh_bucket_pairs(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        lsh_bucket_pairs,
+    )
+
+    return lsh_bucket_pairs(_emb(spark, sf_dir))
+
+
+def _q_random_plane_lsh(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        random_plane_lsh_candidates,
+    )
+
+    # no SQL oracle (numpy matmul signatures) — differential-tested in
+    # tests/test_similarity.py against brute force; driver records a
+    # rows-only check
+    return random_plane_lsh_candidates(_emb(spark, sf_dir))
+
+
+def _q_media_stats(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+    )
+
+    return decode_media(attach_media(_docs(spark, sf_dir)))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        frame_sample_plan,
+    )
+
+    return frame_sample_plan(attach_media(_docs(spark, sf_dir)))
+
+
+def _q_events_windowed(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.streaming.events import windowed_counts
+
+    return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -198,6 +251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "ann_cosine_topk": _q_cosine_topk,
+        "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
+        "ann_random_plane_lsh": _q_random_plane_lsh,
+        "media_stats": _q_media_stats,
+        "media_frame_sample": _q_frame_sample,
+        "events_windowed": _q_events_windowed,
     }
 
 
@@ -230,4 +289,10 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_score_sql(),
         "text_fingerprint": oracles.fingerprint_sql(),
+        "ann_cosine_topk": oracles.cosine_topk_sql(),
+        "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),
+        # ann_random_plane_lsh intentionally has no oracle entry
+        "media_stats": oracles.media_stats_sql(),
+        "media_frame_sample": oracles.frame_sample_sql(),
+        "events_windowed": oracles.events_windowed_sql(),
     }

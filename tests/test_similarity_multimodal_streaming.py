@@ -1,0 +1,133 @@
+"""Similarity search, multimodal plumbing, streaming/batch parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    frame_sample_plan,
+)
+from wedge_parallel_triangle_counting_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_pairs,
+    random_plane_lsh_candidates,
+)
+from wedge_parallel_triangle_counting_spark.streaming.events import (
+    run_streaming_windowed,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    got = cosine_topk(emb, k=5, query_limit=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cos))
+    for q in (0, 1, 2):
+        qi = np.where(ids == q)[0][0]
+        cos = mat @ mat[qi]
+        cos[qi] = -2  # exclude self
+        order = np.lexsort((ids, -cos))[:5]
+        want = [int(ids[i]) for i in order]
+        gotq = [v for _, v, _ in sorted(by_q[q])]
+        assert gotq == want, q
+        for rank, vec_id, c in by_q[q]:
+            i = np.where(ids == vec_id)[0][0]
+            assert abs(c - cos[i]) < 1e-5
+
+
+def test_lsh_bucket_pairs_subset_of_bruteforce(spark, emb):
+    pairs = lsh_bucket_pairs(emb, threshold=0.3).collect()
+    assert len(pairs) > 0
+    rows = emb.collect()
+    vec = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for r in pairs:
+        a, b = vec[r.id_a], vec[r.id_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.3 - 1e-9
+        assert abs(cos - r.cos) < 1e-5
+
+
+def test_random_plane_lsh_enrichment_and_determinism(spark, emb):
+    # the fixture embeddings are near-random (max pairwise cos ≈ 0.48),
+    # so an absolute recall assertion is meaningless for sign-LSH; the
+    # correct property is ENRICHMENT: genuinely-similar pairs must be
+    # candidates far more often than random pairs — plus determinism.
+    cands = {(r.id_a, r.id_b) for r in random_plane_lsh_candidates(emb).collect()}
+    cands2 = {(r.id_a, r.id_b) for r in random_plane_lsh_candidates(emb).collect()}
+    assert cands == cands2  # deterministic signatures
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    pairs = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            pairs.append((sims[i, j], min(ids[i], ids[j]), max(ids[i], ids[j])))
+    pairs.sort(reverse=True)
+    top = {(a, b) for _, a, b in pairs[:66]}  # the most similar pairs
+    rate_top = len(top & cands) / len(top)
+    rate_all = len(cands) / len(pairs)
+    assert len(cands) > 0
+    assert rate_top > 3 * rate_all, (rate_top, rate_all)
+
+
+def test_media_stats_deterministic_and_exact(spark, docs):
+    stats = decode_media(attach_media(docs)).collect()
+    docs_rows = {r.doc_id: r.text for r in docs.collect()}
+    assert len(stats) == len(docs_rows)
+    for r in stats:
+        nb = len(docs_rows[r.doc_id].encode())
+        assert r.n_bytes == nb
+        assert r.width == 16 + nb % 624
+        assert r.n_frames == (1 if r.kind == "image" else 1 + nb % 120)
+
+
+def test_decode_media_real_raises(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_media(docs), real_decode=True)
+
+
+def test_frame_sample_only_video(spark, docs):
+    fs = frame_sample_plan(attach_media(docs))
+    assert fs.count() > 0
+    assert fs.filter("frame_idx % 10 != 0").count() == 0
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    import shutil
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "part-000.parquet")
+    batch = windowed_counts(spark.read.parquet(str(events_dir)))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    got_df = run_streaming_windowed(spark, str(events_dir), str(tmp_path / "ckpt"))
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in got_df.collect()
+    }
+    assert got == want

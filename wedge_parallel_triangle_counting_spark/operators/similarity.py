@@ -1,0 +1,205 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three operators:
+- `cosine_topk`: brute-force exact top-k neighbors for a query subset —
+  broadcast the queries, JVM-side dot products (`zip_with` +
+  `aggregate`, whole-stage codegen), ranking window per query.
+  O(Q·N) — the correctness baseline, and the right choice when Q is
+  small.
+- `lsh_bucket_pairs`: axis-sign LSH — bucket = sign bits of 8 fixed
+  coordinates; same-bucket candidate pairs filtered by exact cosine.
+  Expected candidates N²/2^8 per-bucket-balanced; fully
+  SQL-reproducible (the DuckDB oracle mirrors it bit for bit).
+- `random_plane_lsh_candidates`: classic random-hyperplane signatures
+  via a deterministic md5-seeded plane matrix inside a vectorized
+  pandas UDF — the scale path (one matmul per Arrow batch); verified
+  differentially against brute force in tests (recall), not by SQL.
+
+Scale notes: brute force is a broadcast nested loop — fine for Q·N up
+to ~10^10 ops; beyond that the LSH variants bound candidate counts.
+All cosines are computed in float64 after casting the float32 input.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AXIS_BITS = 8
+AXIS_COORDS = [1 + 8 * p for p in range(AXIS_BITS)]  # fixed, 1-based
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_limit: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for vectors with id < query_limit.
+    Returns (query_id, vec_id, cos, rank); self-matches excluded;
+    ties broken by vec_id ascending."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    qs = (
+        base.filter(F.col("vec_id") < query_limit)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    joined = base.crossJoin(F.broadcast(qs)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos")
+    scored = joined.select("query_id", "vec_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def axis_bucket(vec_col, coords: list[int] | None = None):
+    """Bucket id from the sign bits of fixed coordinates (1-based)."""
+    coords = coords or AXIS_COORDS
+    bucket = F.lit(0)
+    for p, c in enumerate(coords):
+        bucket = bucket + F.when(
+            F.element_at(vec_col, c) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return bucket.cast("long")
+
+
+def lsh_bucket_pairs(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs sharing an axis-sign bucket, filtered by exact
+    cosine >= threshold. Returns (id_a, id_b, cos), id_a < id_b."""
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", axis_bucket(F.col("v"))).withColumn("nrm", _norm(F.col("v")))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _planes(dim: int, nbits: int, seed: str = "wetric") -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix seeded via md5 — no RNG state,
+    same matrix on every executor and run."""
+    out = np.empty((nbits, dim), dtype=np.float64)
+    for p in range(nbits):
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{j}".encode()).digest()[0]
+            out[p, j] = 1.0 if h & 1 else -1.0
+    return out
+
+
+def random_plane_signatures(
+    emb: DataFrame,
+    nbits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sig) — random-hyperplane signatures, one matmul per
+    Arrow batch inside mapInPandas (the scale path)."""
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes_bc = spark.sparkContext.broadcast(_planes(dim, nbits))
+    sel = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
+    )
+
+    def sign_udf(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = planes_bc.value
+        weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["v"].values).astype(np.float64)
+            bits = (mat @ planes.T) >= 0
+            sig = bits @ weights
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "sig": sig})
+
+    return sel.mapInPandas(sign_udf, schema="vec_id long, sig long")
+
+
+def random_plane_lsh_candidates(
+    emb: DataFrame,
+    nbits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs agreeing on at least one signature band
+    (banded random-hyperplane LSH). Returns distinct (id_a, id_b)."""
+    sig = random_plane_signatures(emb, nbits, id_col, vec_col).persist()
+    rows = nbits // bands
+    mask = (1 << rows) - 1
+    frames = []
+    for b in range(bands):
+        band = sig.select(
+            "vec_id",
+            F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).alias("band"),
+        )
+        x = band.select(F.col("vec_id").alias("id_a"), "band")
+        y = band.select(F.col("vec_id").alias("id_b"), "band")
+        frames.append(
+            x.join(y, "band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.distinct()

@@ -402,3 +402,113 @@ SELECT doc_id,
        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
 FROM documents
 """.strip()
+
+
+# -- similarity-search oracles (embeddings table) -------------------------
+
+
+def cosine_topk_sql(k: int = 5, query_limit: int = 10) -> str:
+    return f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nrm AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM base
+),
+qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nrm WHERE vec_id < {query_limit}),
+scored AS (
+    SELECT q.query_id, n.vec_id,
+           list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos
+    FROM nrm n CROSS JOIN qs q
+    WHERE n.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def lsh_bucket_pairs_sql(threshold: float = 0.2) -> str:
+    from ..operators.similarity import AXIS_COORDS
+
+    bucket = " + ".join(
+        f"(CASE WHEN v[{c}] >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, c in enumerate(AXIS_COORDS)
+    )
+    return f"""
+WITH base AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+nb AS (
+    SELECT vec_id, v,
+           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+           CAST({bucket} AS BIGINT) AS bucket
+    FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+""".strip()
+
+
+# -- multimodal plumbing oracles (documents-derived media table) -----------
+
+_MEDIA_CTE = """
+media AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           (CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END) AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+),
+stats AS (
+    SELECT doc_id, kind, n_bytes,
+           16 + n_bytes % 624 AS width,
+           16 + (n_bytes * 7) % 464 AS height,
+           (CASE WHEN kind = 'image' THEN 1 ELSE 1 + n_bytes % 120 END) AS n_frames
+    FROM media
+)
+""".strip()
+
+
+def media_stats_sql() -> str:
+    return (
+        "WITH "
+        + _MEDIA_CTE
+        + "\nSELECT doc_id, kind, n_bytes, CAST(width AS BIGINT) AS width, "
+        "CAST(height AS BIGINT) AS height, CAST(n_frames AS BIGINT) AS n_frames FROM stats"
+    )
+
+
+def frame_sample_sql(every_n: int = 10) -> str:
+    return (
+        "WITH "
+        + _MEDIA_CTE
+        + f"""
+SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, {every_n})) AS BIGINT) AS frame_idx
+FROM stats WHERE kind = 'video'
+"""
+    )
+
+
+# -- events (batch windowed aggregation; streaming twin in streaming/) ----
+
+
+def events_windowed_sql() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""".strip()
