@@ -81,18 +81,19 @@ def pagerank(
         if got is not None:
             ranks, start = got
     if ranks is None:
-        ranks = outdeg.select("v", F.lit(1.0 / n).alias("pr"))
+        # state carries outdeg so the iteration needs no ranks⋈outdeg
+        # join — one fewer shuffle per iteration
+        ranks = outdeg.select("v", "outdeg", F.lit(1.0 / n).alias("pr"))
 
     base = (1.0 - damping) / n
     for it in range(start, num_iters):
-        r = ranks.join(outdeg, "v")
         # dangling mass as a 1-row aggregate cross-joined into the plan
         # — no separate driver action per iteration
-        dangling_df = r.filter(F.col("outdeg") == 0).agg(
+        dangling_df = ranks.filter(F.col("outdeg") == 0).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling")
         )
         contribs = (
-            e.join(r.filter(F.col("outdeg") > 0), e.src == F.col("v"))
+            e.join(ranks.filter(F.col("outdeg") > 0), e.src == F.col("v"))
             .select(F.col("dst").alias("v"), (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("contrib"))
@@ -102,6 +103,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling_df))
             .select(
                 "v",
+                "outdeg",
                 (
                     F.lit(base)
                     + F.lit(damping)
