@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis) for the graph invariants of
+SURVEY §5 / FIXTURES §5, plus a Zipf-skew test that exercises the hub
+lane for real."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wedge_parallel_triangle_counting_spark.operators import graph as G
+from wedge_parallel_triangle_counting_spark.operators.triangles import triangle_count
+
+from .conftest import edges_df
+
+
+def _brute(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(1 for a, b in und for c in adj[a] & adj[b] if c > b)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=edge_lists)
+def test_wedge_count_matches_bruteforce(spark, pairs):
+    df = edges_df(spark, pairs)
+    got = triangle_count(df, strategy="wedge").collect()[0][0]
+    assert got == _brute(pairs)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=edge_lists)
+def test_degree_sum_and_orientation_invariants(spark, pairs):
+    df = edges_df(spark, pairs)
+    sym = G.symmetrize(df).persist()
+    m_sym = sym.count()
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    assert m_sym == 2 * len(und)  # Σ degree = 2·|undirected edges|
+    if m_sym:
+        oriented, _, n = G.prepare_oriented(df)
+        assert oriented.count() == m_sym // 2  # orientation halves (tc.cu:729)
+        verts = {x for p in und for x in p}
+        assert n == len(verts)
+
+
+def test_zipf_skew_hub_lane(spark):
+    # power-law graph: hub lane + splitting must engage and stay exact
+    rng = random.Random(42)
+    n = 400
+    pairs = []
+    for _ in range(6000):
+        # Zipf-ish: quadratic skew toward low ids
+        a = int((rng.random() ** 2) * n)
+        b = rng.randrange(n)
+        pairs.append((a, b))
+    expected = _brute(pairs)
+    df = edges_df(spark, pairs)
+    # split_budget small enough that top oriented out-degrees exceed it
+    # (orientation bounds out-degree to ~sqrt(2m), so the budget must be tiny)
+    got = triangle_count(df, strategy="wedge", split_budget=128, hub_k=64).collect()[0][0]
+    assert got == expected
+    got_join = triangle_count(df, strategy="join").collect()[0][0]
+    assert got_join == expected
+
+
+def test_zipf_hub_lane_actually_engages(spark):
+    # guard: the previous test must actually route vertices through the
+    # hub lane — verify a hub exists at that budget
+    rng = random.Random(42)
+    n = 400
+    pairs = []
+    for _ in range(6000):
+        a = int((rng.random() ** 2) * n)
+        b = rng.randrange(n)
+        pairs.append((a, b))
+    oriented, _, _ = G.prepare_oriented(edges_df(spark, pairs))
+    hub_min_deg = int((2 * 128) ** 0.5) + 2  # mirrors _wedge_count
+    max_odeg = (
+        oriented.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_odeg >= hub_min_deg

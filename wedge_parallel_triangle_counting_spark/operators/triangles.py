@@ -339,7 +339,8 @@ def triangle_count(
             F.count("*").alias("triangles")
         )
 
-    sym = symmetrize(normalize_edges(edges))
+    # sym feeds degrees + two orientation joins — persist once
+    sym = symmetrize(normalize_edges(edges)).persist()
     deg = degrees(sym)
     oriented = orient_by_degree(sym, deg)
 
