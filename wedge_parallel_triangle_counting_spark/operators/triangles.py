@@ -255,8 +255,19 @@ def _wedge_count(
     flat_edges = oriented
     hub_chunks = None
     if hub_ids:
-        flat_edges = oriented.filter(~F.col("src").isin(hub_ids))
-        hub_adj = adjacency(oriented.filter(F.col("src").isin(hub_ids)))
+        if len(hub_ids) <= 10_000:
+            is_hub = F.col("src").isin(hub_ids)
+            flat_edges = oriented.filter(~is_hub)
+            hub_edges = oriented.filter(is_hub)
+        else:
+            # adversarially many hubs: route via broadcast anti/semi
+            # joins instead of a giant literal IN list
+            hub_df = F.broadcast(
+                spark.createDataFrame([(h,) for h in hub_ids], "src long")
+            )
+            flat_edges = oriented.join(hub_df, "src", "left_anti")
+            hub_edges = oriented.join(hub_df, "src", "left_semi")
+        hub_adj = adjacency(hub_edges)
         hub_chunks = _split_chunks(hub_adj, split_budget).repartition(
             npart, "v", "i_lo"
         )
