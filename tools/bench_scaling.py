@@ -68,7 +68,7 @@ m_raw = amp.count()
 
 # --- e2e: full pipeline with the distributed semi-join closure -------
 e2e_secs = []; tri = None
-for _ in range(reps):
+for _ in range(min(reps, 2)):
     t0 = time.perf_counter()
     tri = T.triangle_count(amp, strategy="wedge", closure="join").collect()[0][0]
     e2e_secs.append(round(time.perf_counter() - t0, 2))
@@ -85,13 +85,13 @@ t0 = time.perf_counter()
 probe = T._build_probe(spark, flat, n, 8192)
 copy_sec = round(time.perf_counter() - t0, 2)
 exec_secs = []
-for _ in range(reps + 1):  # extra warm rep, reference discards run 0
+for _ in range(reps + 2):  # extra warm reps, reference discards run 0
     t0 = time.perf_counter()
     tri2 = flat.mapInPandas(T._flat_count_udf(probe), schema="tri long").agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles")).collect()[0][0]
     exec_secs.append(round(time.perf_counter() - t0, 2))
 assert tri2 == tri
-exec_secs = exec_secs[1:]
+exec_secs = exec_secs[2:]
 
 # --- pagerank ---------------------------------------------------------
 o = spark.read.parquet(f"{sf_dir}/orders.parquet")
