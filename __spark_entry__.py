@@ -110,6 +110,12 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(
+        testdata.derived_pagerank_edges(spark, sf_dir), strategy="star"
+    )
+
+
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         testdata.derived_pagerank_edges(spark, sf_dir), num_iters=LABELPROP_ITERS
@@ -239,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_join": _q_tri("join"),
         "pagerank": _q_pagerank,
         "components": _q_components,
+        "components_star": _q_components_star,
         "labelprop": _q_labelprop,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
@@ -275,6 +282,9 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
+        "components_star": oracles.components_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
         "labelprop": oracles.labelprop_sql(
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
         ),
