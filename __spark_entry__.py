@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wedge_stats": _q_wedge_stats,
         "graph_hub_topk": _q_hub_topk,
         "triangles_wedge": _q_tri("wedge"),
+        "triangles_arrow": _q_tri("arrow"),
         "triangles_vertex": _q_tri("vertex"),
         "triangles_edge": _q_tri("edge"),
         "triangles_join": _q_tri("join"),
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_wedge_stats": oracles.wedge_stats_sql(),
         "graph_hub_topk": oracles.hub_topk_sql(),
         "triangles_wedge": tri,
+        "triangles_arrow": tri,
         "triangles_vertex": tri,
         "triangles_edge": tri,
         "triangles_join": tri,

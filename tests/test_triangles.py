@@ -15,7 +15,7 @@ from wedge_parallel_triangle_counting_spark.operators.triangles import (
 
 from .conftest import GOLDEN_TRIANGLES, edges_df
 
-STRATEGIES = ["wedge", "vertex", "edge", "join"]
+STRATEGIES = ["wedge", "arrow", "vertex", "edge", "join"]
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_TRIANGLES))
@@ -72,6 +72,48 @@ def test_wedge_small_split_budget(spark):
     expected = _brute_triangles(pairs)
     got = triangle_count(
         edges_df(spark, pairs), strategy="wedge", split_budget=4, hub_k=8
+    ).collect()[0][0]
+    assert got == expected
+
+
+def test_wedge_range_partitioner(spark):
+    # wedge-balanced range partitioning (tc.cu:348-361 analogue) must
+    # agree with the default hash clustering, including with hubs split
+    pairs = _random_graph(17, 40, 500)
+    expected = _brute_triangles(pairs)
+    df = edges_df(spark, pairs)
+    got = triangle_count(df, strategy="wedge", partitioner="wedge_range").collect()[0][0]
+    assert got == expected
+    got = triangle_count(
+        df, strategy="wedge", partitioner="wedge_range", split_budget=8
+    ).collect()[0][0]
+    assert got == expected
+
+
+def test_prep_paths_agree(spark):
+    # fast (no-relabel) and relabel preprocessing are interchangeable
+    pairs = _random_graph(19, 50, 400)
+    df = edges_df(spark, pairs)
+    fast = triangle_count(df, strategy="wedge", prep="fast").collect()[0][0]
+    relab = triangle_count(df, strategy="wedge", prep="relabel").collect()[0][0]
+    assert fast == relab == _brute_triangles(pairs)
+
+
+def test_no_cached_blocks_leak(spark):
+    # ADVICE round 1: triangle_count must release its persisted
+    # intermediates after the terminal action
+    spark.catalog.clearCache()
+    pairs = _random_graph(23, 30, 200)
+    triangle_count(edges_df(spark, pairs)).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_arrow_join_closure(spark):
+    pairs = _random_graph(29, 50, 350)
+    expected = _brute_triangles(pairs)
+    got = triangle_count(
+        edges_df(spark, pairs), strategy="arrow", closure="join"
     ).collect()[0][0]
     assert got == expected
 

@@ -93,11 +93,18 @@ def enumerate_pairs(
 
 
 def build_edge_keys(src: np.ndarray, dst: np.ndarray, key_base: int) -> np.ndarray:
-    """Sorted int64 edge-key array for the closure probe.
+    """Sorted int64 edge-key array for the closure probe, canonicalized
+    by vertex id (key = min*base + max).
 
-    key_base must exceed the max vertex id; key_base**2 must fit int64
-    (checked by caller) — holds for graphs up to ~3e9 vertices."""
-    keys = src.astype(np.int64) * np.int64(key_base) + dst.astype(np.int64)
+    Canonical-by-id keys make the probe independent of the edge
+    ORIENTATION order (degree order in the no-relabel pipeline differs
+    from id order); the oriented set holds each undirected edge once,
+    so canonical keys stay unique. key_base must exceed the max vertex
+    id; key_base**2 must fit int64 (checked by caller) — holds for
+    graphs up to ~3e9 vertices."""
+    lo = np.minimum(src, dst).astype(np.int64)
+    hi = np.maximum(src, dst).astype(np.int64)
+    keys = lo * np.int64(key_base) + hi
     keys.sort()
     return keys
 
@@ -108,56 +115,69 @@ def probe_pairs(
     edge_keys: np.ndarray,
     key_base: int,
     hub_bitmap: np.ndarray | None = None,
-    hub_lo: int | None = None,
-    hub_k: int = 0,
+    hub_ids: np.ndarray | None = None,
 ) -> int:
-    """Count how many (w, u) pairs are edges — the closure check (J1).
+    """Count how many {w, u} pairs are edges — the closure check (J1).
 
-    If a hub bitmap is provided, pairs whose BOTH endpoints rank >=
-    hub_lo are answered by an O(1) bit probe (J3, tc.cu:262-272);
-    the rest go through the vectorized binary search."""
+    Pairs are canonicalized by id before probing. If a hub index is
+    provided (`hub_ids`: sorted vertex ids; `hub_bitmap`: dense k×k bit
+    matrix over their positions), pairs whose BOTH endpoints are hubs
+    are answered by a cache-resident probe (J3, tc.cu:262-272) — a
+    searchsorted over ≤8k ids (L1/L2) plus one bit load — instead of a
+    binary search over the full DRAM-sized edge-key array."""
     if len(w) == 0:
         return 0
-    if hub_bitmap is not None and hub_lo is not None:
-        is_hub = (w >= hub_lo) & (u >= hub_lo)
+    lo = np.minimum(w, u).astype(np.int64, copy=False)
+    hi = np.maximum(w, u).astype(np.int64, copy=False)
+    hub_count = 0
+    if hub_bitmap is not None and hub_ids is not None and len(hub_ids):
+        k = len(hub_ids)
+        ilo = np.searchsorted(hub_ids, lo)
+        ihi = np.searchsorted(hub_ids, hi)
+        np.clip(ilo, 0, k - 1, out=ilo)
+        np.clip(ihi, 0, k - 1, out=ihi)
+        is_hub = (hub_ids[ilo] == lo) & (hub_ids[ihi] == hi)
         if is_hub.any():
-            hw = w[is_hub] - hub_lo
-            hu = u[is_hub] - hub_lo
-            bit = hw * hub_k + hu
+            bit = ilo[is_hub] * k + ihi[is_hub]
             hits = (hub_bitmap[bit >> 6] >> (bit & 63).astype(np.uint64)) & np.uint64(1)
             hub_count = int(hits.sum())
-            w = w[~is_hub]
-            u = u[~is_hub]
-        else:
-            hub_count = 0
-    else:
-        hub_count = 0
+            keep = ~is_hub
+            lo = lo[keep]
+            hi = hi[keep]
 
-    if len(w) == 0:
+    if len(lo) == 0:
         return hub_count
-    keys = w.astype(np.int64) * np.int64(key_base) + u.astype(np.int64)
+    keys = lo * np.int64(key_base) + hi
     pos = np.searchsorted(edge_keys, keys)
     np.clip(pos, 0, len(edge_keys) - 1, out=pos)
     return hub_count + int((edge_keys[pos] == keys).sum())
 
 
 def build_hub_bitmap(
-    src: np.ndarray, dst: np.ndarray, n: int, hub_k: int
-) -> tuple[np.ndarray, int]:
-    """Dense bit matrix of hub→hub oriented edges over the top-hub_k
-    ranked vertices (ranks n-hub_k .. n-1). Returns (bitmap, hub_lo).
+    src: np.ndarray, dst: np.ndarray, hub_ids: np.ndarray
+) -> np.ndarray:
+    """Dense bit matrix of hub↔hub edges (canonical by id) over the
+    positions of `hub_ids` (sorted vertex ids, typically the top-k by
+    degree).
 
-    Reference builds a packed upper-triangular matrix (tc.cu:329-346);
-    a dense hub_k×hub_k matrix costs 2× bits but keeps the index math
-    branch-free for numpy (8192 → 8 MiB, as the README's -a 8192)."""
-    hub_lo = max(n - hub_k, 0)
-    hub_k = n - hub_lo
-    bitmap = np.zeros((hub_k * hub_k + 63) // 64, dtype=np.uint64)
-    m = (src >= hub_lo) & (dst >= hub_lo)
+    Reference builds a packed upper-triangular matrix over the top
+    RANKS (tc.cu:329-346); indexing by position in an explicit sorted
+    id array generalizes that to un-relabeled vertex spaces. A dense
+    k×k matrix costs 2× bits but keeps the index math branch-free for
+    numpy (8192 → 8 MiB, as the README's -a 8192)."""
+    k = len(hub_ids)
+    bitmap = np.zeros((k * k + 63) // 64, dtype=np.uint64)
+    if k == 0:
+        return bitmap
+    lo = np.minimum(src, dst).astype(np.int64)
+    hi = np.maximum(src, dst).astype(np.int64)
+    ilo = np.clip(np.searchsorted(hub_ids, lo), 0, k - 1)
+    ihi = np.clip(np.searchsorted(hub_ids, hi), 0, k - 1)
+    m = (hub_ids[ilo] == lo) & (hub_ids[ihi] == hi)
     if m.any():
-        bit = (src[m].astype(np.int64) - hub_lo) * hub_k + (dst[m].astype(np.int64) - hub_lo)
+        bit = ilo[m] * k + ihi[m]
         np.bitwise_or.at(bitmap, bit >> 6, np.uint64(1) << (bit & 63).astype(np.uint64))
-    return bitmap, hub_lo
+    return bitmap
 
 
 def count_triangles_block(
@@ -169,8 +189,7 @@ def count_triangles_block(
     edge_keys: np.ndarray,
     key_base: int,
     hub_bitmap: np.ndarray | None = None,
-    hub_lo: int | None = None,
-    hub_k: int = 0,
+    hub_ids: np.ndarray | None = None,
     block_pairs: int = DEFAULT_BLOCK_PAIRS,
 ) -> int:
     """Count closed wedges for a batch of adjacency rows, processing in
@@ -186,6 +205,40 @@ def count_triangles_block(
             acc += counts[hi]
             hi += 1
         w, u = enumerate_pairs(flat, starts[lo:hi], degs[lo:hi], i_lo[lo:hi], i_hi[lo:hi])
-        total += probe_pairs(w, u, edge_keys, key_base, hub_bitmap, hub_lo, hub_k)
+        total += probe_pairs(w, u, edge_keys, key_base, hub_bitmap, hub_ids)
+        lo = hi
+    return total
+
+
+def count_arrow_block(
+    centers: np.ndarray,
+    flat: np.ndarray,
+    starts: np.ndarray,
+    degs: np.ndarray,
+    edge_keys: np.ndarray,
+    key_base: int,
+    hub_bitmap: np.ndarray | None = None,
+    hub_ids: np.ndarray | None = None,
+    block_pairs: int = DEFAULT_BLOCK_PAIRS,
+) -> int:
+    """Arrow (path-wedge) evaluation: for each row r the path center is
+    `centers[r] = v` of an oriented edge (v, w), and the row's adjacency
+    is adj(w); every u in adj(w) forms a path v→w→u whose closure {v,u}
+    is probed. Mirrors the two-level wedge_vp/wedge_vi walk of
+    experiments/tc_arrow.cu:345-371, chunked like O4."""
+    total = 0
+    lo = 0
+    nrows = len(degs)
+    while lo < nrows:
+        hi = lo + 1
+        acc = int(degs[lo])
+        while hi < nrows and acc + degs[hi] <= block_pairs:
+            acc += int(degs[hi])
+            hi += 1
+        d = degs[lo:hi]
+        w = np.repeat(centers[lo:hi].astype(np.int64, copy=False), d)
+        s0 = starts[lo]
+        u = flat[s0 : s0 + int(d.sum())]
+        total += probe_pairs(w, u, edge_keys, key_base, hub_bitmap, hub_ids)
         lo = hi
     return total

@@ -139,12 +139,19 @@ def orient_by_degree(sym: DataFrame, deg: DataFrame) -> DataFrame:
     return joined.filter(keep).select("src", "dst")
 
 
-def prepare_oriented(edges: DataFrame, rank_method: str = "scalable") -> tuple[DataFrame, DataFrame, int]:
+def prepare_oriented(
+    edges: DataFrame,
+    rank_method: str = "scalable",
+    caches: list | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
     """Full preprocessing pipeline: dirty edges → (oriented edges in
     rank space, rank dictionary, n). The rank space is 0..n-1 so the
     closure probe can use integer edge keys src*n+dst.
 
-    Equivalent of reference read_graph+preprocess (tc.cu:561-787)."""
+    Equivalent of reference read_graph+preprocess (tc.cu:561-787).
+    If `caches` is given, the internally persisted frames are appended
+    to it so the caller can unpersist them after its terminal action
+    (library callers otherwise leak cached blocks across queries)."""
     # sym feeds both the degree count and the relabel joins — persist
     # so the symmetrize shuffle runs once.
     sym = symmetrize(normalize_edges(edges)).persist()
@@ -160,8 +167,73 @@ def prepare_oriented(edges: DataFrame, rank_method: str = "scalable") -> tuple[D
     # the two relabel joins each consume ranks — persist so the rank
     # assignment (a python-worker pass) runs once, not twice
     ranks = ranks.persist()
+    if caches is not None:
+        caches.extend([sym, ranks])
     oriented = orient(relabel(sym, ranks, n=n))
     return oriented, ranks, n
+
+
+def prepare_oriented_fast(
+    edges: DataFrame,
+    npartitions: int | None = None,
+    caches: list | None = None,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Fused preprocessing in ORIGINAL id space: dirty edges →
+    (oriented, degrees, n, max_id), with ONE edge-sized shuffle.
+
+    The whole chain runs on a single hash(src) partitioning:
+    - union(clean, flipped) is repartitioned by src — the only
+      edge-sized exchange;
+    - dedup groups by (src, dst): HashPartitioning(src) already
+      satisfies ClusteredDistribution(src, dst), so Catalyst plans the
+      final aggregate WITHOUT a second exchange;
+    - degrees group by src: same partitioning, no exchange;
+    - orientation keeps (deg, id)-ascending edges via two joins against
+      the degree table, broadcast below RELABEL_BROADCAST_MAX vertices
+      (zero exchange) — so `oriented` leaves this function still
+      clustered by hash(src), ready for the CSR lane with only a
+      sortWithinPartitions.
+
+    Replaces the relabel pipeline (3 edge-sized shuffles: dedup by
+    (src,dst), degrees by src, post-relabel repartition) whenever the
+    original ids fit integer edge keys ((max_id+1)² < 2⁶³); triangle
+    semantics are identical because the closure probe canonicalizes
+    keys by id (functions/wedge.py). Reference comparable: read_graph+
+    preprocess, tc.cu:561-787, which is 93% of its end-to-end time.
+
+    Caveat at 10^13 edges: hash(src) clustering makes a degree-d hub
+    contribute d rows to one partition during dedup — bounded vs total
+    partition size for real web graphs; the relabel path (hash by
+    (src,dst)) remains available for adversarially skewed inputs.
+    """
+    spark = edges.sparkSession
+    npart = npartitions or spark.sparkContext.defaultParallelism
+    clean = drop_self_loops(normalize_edges(edges))
+    flipped = clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    both = clean.unionByName(flipped).repartition(npart, "src")
+    sym = both.dropDuplicates(["src", "dst"]).persist()
+    if caches is not None:
+        caches.append(sym)
+    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+    row = deg.agg(F.count("*").alias("n"), F.max("src").alias("mx")).collect()[0]
+    n = row["n"]
+    max_id = row["mx"] if row["mx"] is not None else -1
+
+    bc = n <= RELABEL_BROADCAST_MAX
+    d_src = deg.select("src", F.col("degree").alias("d_src"))
+    d_dst = deg.select(F.col("src").alias("dst"), F.col("degree").alias("d_dst"))
+    if bc:
+        d_src, d_dst = F.broadcast(d_src), F.broadcast(d_dst)
+    keep = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = sym.join(d_src, "src").join(d_dst, "dst").filter(keep).select("src", "dst")
+    if not bc:
+        # the dst-side join re-clustered the edges by dst; restore the
+        # src clustering the downstream CSR lane relies on
+        oriented = oriented.repartition(npart, "src")
+    deg_out = deg.select(F.col("src").alias("v"), "degree")
+    return oriented, deg_out, n, max_id
 
 
 def adjacency(oriented: DataFrame) -> DataFrame:

@@ -73,6 +73,63 @@ def assign_contiguous_ids_with_count(
     return parted.mapInPandas(add_ids, schema=out_schema), acc
 
 
+def attach_cumulative_weight(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "cum",
+    npartitions: int | None = None,
+    caches: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Append the EXCLUSIVE prefix sum of `weight_col` following the
+    total order of `order_cols`; returns (df+out_col, grand total).
+
+    Same two-pass shape as `assign_contiguous_ids_with_count` but
+    summing a weight instead of counting rows — this is the
+    distributed analogue of the reference's global wedge cumsum
+    (A3, tc.cu:348-361) that drives wedge-balanced partitioning."""
+    spark = df.sparkSession
+    npart = npartitions or max(spark.sparkContext.defaultParallelism, 8)
+    parted = (
+        df.repartitionByRange(npart, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
+    if caches is not None:
+        caches.append(parted)
+    sums = {
+        r["pid"]: r["w"]
+        for r in parted.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.coalesce(F.sum(weight_col), F.lit(0)).alias("w"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(parted.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def add_cum(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = boff.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            w = pdf[weight_col].to_numpy()
+            pdf[out_col] = base + w.cumsum() - w  # exclusive prefix
+            base += int(w.sum())
+            yield pdf
+
+    return parted.mapInPandas(add_cum, schema=out_schema), acc
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_cols: list[str],

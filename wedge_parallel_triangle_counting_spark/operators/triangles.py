@@ -1,4 +1,4 @@
-"""Exact triangle counting — four physical strategies, one logical query.
+"""Exact triangle counting — five physical strategies, one logical query.
 
 The reference ships ~12 binaries that are alternative physical plans of
 the same query (SURVEY.md §2.11); we expose the same axis as a
@@ -6,46 +6,59 @@ the same query (SURVEY.md §2.11); we expose the same axis as a
 (differential testing, mirroring the reference's cross-variant
 agreement):
 
-- "wedge"  (default, the WeTriC strategy, tc.cu:173-293): degree-ordered
-  orientation + relabel to rank space, then a two-lane physical plan:
-  * non-hub lane: oriented edges hash-repartitioned by src and sorted
-    within partitions — the partition IS the CSR (columnar src/dst, no
-    array objects); one vectorized mapInPandas enumerates wedges and
-    probes closure per partition;
+- "wedge"  (default, the WeTriC strategy, tc.cu:173-293): fused
+  single-shuffle preprocessing (degree-ordered orientation in ORIGINAL
+  id space — graph.prepare_oriented_fast), then a two-lane plan:
+  * non-hub lane: oriented edges are already hash-clustered by src
+    from the prep shuffle; a sortWithinPartitions makes the partition
+    the CSR (columnar src/dst, no array objects) with NO further
+    exchange; one vectorized mapInPandas enumerates wedges and probes
+    closure per partition;
   * hub lane (power-law head): vertices whose wedge count exceeds
-    `split_budget` are exploded into bounded first-index chunks
+    `split_budget` are routed out by anti/semi JOIN (never a driver-side
+    id collect), exploded into bounded first-index chunks
     (high-degree-vertex splitting) and spread across partitions.
-  Both lanes probe a broadcast sorted edge-key array + hub bitmap
-  (reference J1/J3), or emit candidate pairs for a distributed
+  Both lanes probe a broadcast sorted canonical edge-key array + hub
+  bitmap (reference J1/J3), or emit candidate pairs for a distributed
   LEFT SEMI join when the edge set exceeds executor memory.
+  `partitioner="wedge_range"` replaces the hash clustering of the flat
+  lane with a range partitioning on the global cumulative wedge count
+  (the paper's equal-wedges-per-worker partition, tc.cu:348-361).
+- "arrow"  (experiments/tc_arrow.cu:173-289,345-371): path-wedge
+  enumeration — per oriented edge (v,w), walk adj(w) (the two-level
+  wedge_vp/wedge_vi index becomes an edges⋈adjacency join) and probe
+  closure {v,u}.
 - "vertex" (experiments/tc_vertex.cu): one adjacency-array row per unit
   of work (collect_list layout), no splitting/rebalancing.
 - "edge"   (experiments/tc_edge.cu, mixed wedge style): per oriented
   edge (a,b), |adj(a) ∩ adj(b)| via `array_intersect` — 100% JVM.
 - "join"   (the relational formulation): oriented 3-way self-join,
   pure Catalyst — also the DuckDB oracle formulation.
+
+All strategies return an eagerly computed 1-row DataFrame and
+unpersist their intermediate caches, so repeated queries in one
+session don't accumulate cached blocks.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import wedge as wk
 from .graph import (
     adjacency,
-    degrees,
-    normalize_edges,
-    orient_by_degree,
     prepare_oriented,
-    symmetrize,
+    prepare_oriented_fast,
 )
 
 BROADCAST_MAX_EDGES = 30_000_000  # ~240 MB of int64 keys per executor
+HUB_ROUTE_BROADCAST_MAX = 1_000_000  # hub-id table broadcast cap for lane routing
 
 
 def _split_chunks(adj_df: DataFrame, split_budget: int) -> DataFrame:
@@ -64,14 +77,16 @@ def _split_chunks(adj_df: DataFrame, split_budget: int) -> DataFrame:
 
 
 class _Probe:
-    """Closure-probe context shipped to executors (broadcast handles)."""
+    """Closure-probe context shipped to executors (broadcast handles).
 
-    def __init__(self, keys_bc, key_base, hub_bc, hub_lo, hub_k):
+    `hub_ids` is a sorted ≤hub_k-element id array (tiny — rides in the
+    closure pickle); the bitmap over its positions is broadcast."""
+
+    def __init__(self, keys_bc, key_base, hub_bc, hub_ids):
         self.keys_bc = keys_bc
         self.key_base = key_base
         self.hub_bc = hub_bc
-        self.hub_lo = hub_lo
-        self.hub_k = hub_k
+        self.hub_ids = hub_ids
 
     def count(self, flat, starts, degs, i_lo, i_hi) -> int:
         return wk.count_triangles_block(
@@ -83,8 +98,19 @@ class _Probe:
             self.keys_bc.value,
             self.key_base,
             self.hub_bc.value if self.hub_bc is not None else None,
-            self.hub_lo,
-            self.hub_k,
+            self.hub_ids,
+        )
+
+    def count_arrow(self, centers, flat, starts, degs) -> int:
+        return wk.count_arrow_block(
+            centers,
+            flat,
+            starts,
+            degs,
+            self.keys_bc.value,
+            self.key_base,
+            self.hub_bc.value if self.hub_bc is not None else None,
+            self.hub_ids,
         )
 
 
@@ -158,6 +184,28 @@ def _array_count_udf(probe: _Probe):
     return run
 
 
+def _arrow_count_udf(probe: _Probe):
+    """Count path-wedges for rows (src, adj) where adj = adj(dst) of an
+    oriented edge (src, dst) — the arrow strategy's evaluate step
+    (experiments/tc_arrow.cu:345-371)."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            degs = np.array([len(a) for a in pdf["adj"].values], dtype=np.int64)
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["adj"].values]
+            ) if degs.sum() else np.empty(0, np.int64)
+            starts = np.cumsum(degs) - degs
+            centers = pdf["src"].values.astype(np.int64, copy=False)
+            total += probe.count_arrow(centers, flat, starts, degs)
+        yield pd.DataFrame({"tri": [total]})
+
+    return run
+
+
 def _emit_pairs_flat_udf():
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry_s = carry_d = None
@@ -209,77 +257,174 @@ def _emit_pairs_array_udf():
     return run
 
 
-def _build_probe(spark, oriented: DataFrame, n: int, hub_k: int) -> _Probe:
-    if n * n > 2**62:
+def _emit_pairs_arrow_udf():
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            degs = np.array([len(a) for a in pdf["adj"].values], dtype=np.int64)
+            if degs.sum() == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in pdf["adj"].values]
+            )
+            w = np.repeat(pdf["src"].values.astype(np.int64, copy=False), degs)
+            yield pd.DataFrame({"src": w, "dst": flat})
+
+    return run
+
+
+def _collect_long_cols(df: DataFrame, a: str, b: str) -> tuple[np.ndarray, np.ndarray]:
+    """Collect two long columns as numpy arrays via Arrow batches
+    (no pandas object overhead — ADVICE round 1, _build_probe item)."""
+    sel = df.select(a, b)
+    try:
+        tbl = sel.toArrow()
+        return (
+            tbl.column(a).to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+            tbl.column(b).to_numpy(zero_copy_only=False).astype(np.int64, copy=False),
+        )
+    except Exception:  # pragma: no cover — Arrow path unavailable
+        pdf = sel.toPandas()
+        return (
+            pdf[a].values.astype(np.int64),
+            pdf[b].values.astype(np.int64),
+        )
+
+
+def _build_probe(
+    spark: SparkSession,
+    oriented: DataFrame,
+    key_base: int,
+    hub_ids: np.ndarray | None,
+) -> _Probe:
+    if key_base * key_base > 2**62:
         raise ValueError("vertex domain too large for int64 edge keys")
-    pdf = oriented.select("src", "dst").toPandas()
-    src = pdf["src"].values.astype(np.int64)
-    dst = pdf["dst"].values.astype(np.int64)
-    edge_keys = wk.build_edge_keys(src, dst, n)
+    src, dst = _collect_long_cols(oriented, "src", "dst")
+    edge_keys = wk.build_edge_keys(src, dst, key_base)
     hub_bc = None
-    hub_lo = n
-    hk = 0
-    if hub_k and hub_k > 0:
-        bitmap, hub_lo = wk.build_hub_bitmap(src, dst, n, hub_k)
-        hk = n - hub_lo
+    if hub_ids is not None and len(hub_ids):
+        bitmap = wk.build_hub_bitmap(src, dst, hub_ids)
         hub_bc = spark.sparkContext.broadcast(bitmap)
     keys_bc = spark.sparkContext.broadcast(edge_keys)
-    return _Probe(keys_bc, n, hub_bc, hub_lo, hk)
+    return _Probe(keys_bc, key_base, hub_bc, hub_ids)
+
+
+def _top_hub_ids(deg: DataFrame, hub_k: int) -> np.ndarray:
+    """Sorted ids of the top-hub_k vertices by (degree, id) — the
+    bitmap's vertex set (reference covers the top hub_k RANKS,
+    tc.cu:329-346; in un-relabeled space that is the top degrees).
+    Bounded collect: ≤ hub_k ids (64 KB at the default 8192)."""
+    rows = (
+        deg.orderBy(F.desc("degree"), F.desc("v")).limit(hub_k).select("v").collect()
+    )
+    return np.sort(np.array([r["v"] for r in rows], dtype=np.int64))
+
+
+def _canonical(oriented: DataFrame) -> DataFrame:
+    """Edge set canonicalized by id (src < dst) for semi-join closure —
+    orientation order (degree) and id order differ in the fast-prep
+    space."""
+    return oriented.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    )
+
+
+def _wedge_range_flat(
+    flat_edges: DataFrame, odeg: DataFrame, npart: int, caches: list
+) -> DataFrame:
+    """Range-partition the flat lane by the global cumulative WEDGE
+    count (SURVEY §2.11 / tc.cu:348-361: equal wedges per worker).
+
+    Each vertex gets pid = floor(cum_wedges * npart / total); edges
+    join the (vertex → pid) map and repartitionByRange on pid, so the
+    physical partitioning is RangePartitioning with near-equal wedge
+    mass (vertex-atomic; residual imbalance ≤ split_budget per vertex
+    because heavier vertices were routed to the hub lane)."""
+    from .ids import attach_cumulative_weight
+
+    w = odeg.select(
+        "src",
+        (F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("wedges"),
+    )
+    cw, total = attach_cumulative_weight(w, ["src"], "wedges", "cum", caches=caches)
+    if total <= 0:
+        return flat_edges.repartition(npart, "src").sortWithinPartitions("src", "dst")
+    pid_map = cw.select(
+        "src",
+        F.floor(F.col("cum") * npart / total).cast("int").alias("pid"),
+    )
+    tagged = flat_edges.join(F.broadcast(pid_map), "src")
+    return (
+        tagged.repartitionByRange(npart, "pid")
+        .sortWithinPartitions("src", "dst")
+        .select("src", "dst")
+    )
 
 
 def _wedge_count(
-    spark,
+    spark: SparkSession,
     oriented: DataFrame,
-    n: int,
+    key_base: int,
+    deg: DataFrame,
     closure: str,
     hub_k: int,
     split_budget: int,
     partitions: int | None,
+    clustered_by_src: bool,
+    partitioner: str,
+    caches: list,
 ) -> DataFrame:
-    """Two-lane wedge-parallel count over rank-space oriented edges."""
+    """Two-lane wedge-parallel count over degree-oriented edges."""
     npart = partitions or spark.sparkContext.defaultParallelism
 
     # ONE stats job over the persisted oriented set: total m (drives
-    # the broadcast-vs-join closure choice) + the hub id list (vertices
-    # whose wedge count d(d-1)/2 exceeds split_budget).
+    # the broadcast-vs-join closure choice) + the number of split-hub
+    # vertices (wedge count d(d-1)/2 > split_budget). Scalars only —
+    # hub ROUTING is by join, never a driver-side id list.
     hub_min_deg = int((2 * split_budget) ** 0.5) + 2
     odeg = oriented.groupBy("src").agg(F.count("*").alias("deg"))
-    stats = odeg.agg(
+    st = odeg.agg(
         F.coalesce(F.sum("deg"), F.lit(0)).alias("m"),
-        F.collect_list(F.when(F.col("deg") >= hub_min_deg, F.col("src"))).alias(
-            "hubs"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("deg") >= hub_min_deg, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hubs"),
     ).collect()[0]
-    m, hub_ids = stats["m"], list(stats["hubs"])
+    m, n_hubs = st["m"], st["n_hubs"]
 
     flat_edges = oriented
     hub_chunks = None
-    if hub_ids:
-        if len(hub_ids) <= 10_000:
-            is_hub = F.col("src").isin(hub_ids)
-            flat_edges = oriented.filter(~is_hub)
-            hub_edges = oriented.filter(is_hub)
-        else:
-            # adversarially many hubs: route via broadcast anti/semi
-            # joins instead of a giant literal IN list
-            hub_df = F.broadcast(
-                spark.createDataFrame([(h,) for h in hub_ids], "src long")
-            )
-            flat_edges = oriented.join(hub_df, "src", "left_anti")
-            hub_edges = oriented.join(hub_df, "src", "left_semi")
+    if n_hubs > 0:
+        hubs = odeg.filter(F.col("deg") >= hub_min_deg).select("src")
+        if n_hubs <= HUB_ROUTE_BROADCAST_MAX:
+            hubs = F.broadcast(hubs)
+        flat_edges = oriented.join(hubs, "src", "left_anti")
+        hub_edges = oriented.join(hubs, "src", "left_semi")
         hub_adj = adjacency(hub_edges)
         hub_chunks = _split_chunks(hub_adj, split_budget).repartition(
             npart, "v", "i_lo"
         )
-    flat_parted = flat_edges.repartition(npart, "src").sortWithinPartitions(
-        "src", "dst"
-    )
+
+    if partitioner == "wedge_range":
+        flat_odeg = (
+            odeg.filter(F.col("deg") < hub_min_deg) if n_hubs > 0 else odeg
+        )
+        flat_parted = _wedge_range_flat(flat_edges, flat_odeg, npart, caches)
+    elif clustered_by_src and partitions is None:
+        # fast prep already hash-clustered the edges by src — the CSR
+        # lane needs only an in-partition sort, NO exchange
+        flat_parted = flat_edges.sortWithinPartitions("src", "dst")
+    else:
+        flat_parted = flat_edges.repartition(npart, "src").sortWithinPartitions(
+            "src", "dst"
+        )
 
     if closure == "auto":
         closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
 
     if closure == "broadcast":
-        probe = _build_probe(spark, oriented, n, hub_k)
+        hub_ids = _top_hub_ids(deg, hub_k) if hub_k and hub_k > 0 else None
+        probe = _build_probe(spark, oriented, key_base, hub_ids)
         counts = flat_parted.mapInPandas(_flat_count_udf(probe), schema="tri long")
         if hub_chunks is not None:
             counts = counts.unionByName(
@@ -287,14 +432,53 @@ def _wedge_count(
             )
         return counts.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
 
-    # Distributed closure: emit candidate pairs, LEFT SEMI against edges.
+    # Distributed closure: emit candidate pairs (canonical by id),
+    # LEFT SEMI against the canonicalized edge set.
     pairs = flat_parted.mapInPandas(_emit_pairs_flat_udf(), schema="src long, dst long")
     if hub_chunks is not None:
         pairs = pairs.unionByName(
             hub_chunks.mapInPandas(_emit_pairs_array_udf(), schema="src long, dst long")
         )
-    closed = pairs.join(oriented, ["src", "dst"], "left_semi")
+    closed = pairs.join(_canonical(oriented), ["src", "dst"], "left_semi")
     return closed.agg(F.count("*").alias("triangles"))
+
+
+def _prep(
+    edges: DataFrame,
+    prep: str,
+    rank_method: str,
+    npart: int | None,
+    caches: list,
+) -> tuple[DataFrame, DataFrame, int, bool]:
+    """Preprocess → (oriented, degree table (v, degree), key_base,
+    clustered_by_src). prep="fast" fuses everything onto one shuffle in
+    original id space; prep="relabel" is the rank-space pipeline (used
+    when ids don't fit integer edge keys, or on request)."""
+    if prep in ("auto", "fast"):
+        oriented, deg, n, max_id = prepare_oriented_fast(edges, npart, caches=caches)
+        if prep == "fast" or (max_id + 1) ** 2 <= 2**62:
+            return oriented, deg, max_id + 1, True
+        for c in caches:
+            c.unpersist()
+        caches.clear()
+    oriented, ranks, n = prepare_oriented(edges, rank_method=rank_method, caches=caches)
+    # rank space: degree rank IS the id order, so the degree table for
+    # the hub bitmap is just (rank, rank) — top-k ranks = top-k degrees
+    deg = ranks.select(F.col("rank").alias("v"), F.col("rank").alias("degree"))
+    return oriented, deg, n, False
+
+
+def _finish(result: DataFrame, caches: list, spark: SparkSession) -> DataFrame:
+    """Run the terminal action, release every persisted intermediate
+    (ADVICE round 1: library callers otherwise accumulate cached blocks
+    across queries), and return a stable 1-row frame."""
+    val = int(result.collect()[0][0])
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:  # pragma: no cover
+            pass
+    return spark.createDataFrame([(val,)], "triangles long")
 
 
 def triangle_count(
@@ -305,28 +489,96 @@ def triangle_count(
     hub_k: int = 8192,
     split_budget: int = 1 << 18,
     partitions: int | None = None,
+    partitioner: str = "hash",
+    prep: str = "auto",
+    phase_metrics: dict | None = None,
 ) -> DataFrame:
     """Exact global triangle count of the undirected simple graph
     induced by a (possibly dirty) edge DataFrame [src, dst].
 
-    Returns a 1-row DataFrame [triangles: long]."""
+    Returns an eagerly computed 1-row DataFrame [triangles: long];
+    intermediates are unpersisted before returning. `phase_metrics`,
+    if given, is filled with driver-side wall times for the prep /
+    probe-build / exec phases (the reference's accounting split,
+    tc.cu:886-913)."""
     spark = edges.sparkSession
-    if strategy == "wedge":
-        oriented, _ranks, n = prepare_oriented(edges, rank_method=rank_method)
-        oriented = oriented.persist()
-        return _wedge_count(
-            spark,
-            oriented,
-            n,
-            closure=closure,
-            hub_k=hub_k,
-            split_budget=split_budget,
-            partitions=partitions,
-        )
+    caches: list = []
+    t0 = time.perf_counter()
 
-    if strategy == "vertex":
-        oriented, _ranks, n = prepare_oriented(edges, rank_method=rank_method)
+    def mark(key: str) -> None:
+        if phase_metrics is not None:
+            nonlocal t0
+            now = time.perf_counter()
+            phase_metrics[key] = round(
+                phase_metrics.get(key, 0.0) + (now - t0), 4
+            )
+            t0 = now
+
+    if strategy in ("wedge", "arrow", "vertex"):
+        oriented, deg, key_base, clustered = _prep(
+            edges, prep, rank_method, partitions, caches
+        )
         oriented = oriented.persist()
+        caches.append(oriented)
+        mark("prep_sec")
+
+        if strategy == "wedge":
+            result = _wedge_count(
+                spark,
+                oriented,
+                key_base,
+                deg,
+                closure=closure,
+                hub_k=hub_k,
+                split_budget=split_budget,
+                partitions=partitions,
+                clustered_by_src=clustered,
+                partitioner=partitioner,
+                caches=caches,
+            )
+            mark("build_sec")
+            out = _finish(result, caches, spark)
+            mark("exec_sec")
+            return out
+
+        if strategy == "arrow":
+            # path-wedge: edges (v,w) ⋈ adjacency(w) — the relational
+            # analogue of tc_arrow's two-level prefix index; adjacency
+            # grouping shuffles by v, the join shuffles edges by dst
+            # (both unavoidable: the strategy's unit of work is the
+            # (in-edge, out-adjacency) pair)
+            adj = adjacency(oriented).select(
+                F.col("v").alias("dst"), F.col("adj").alias("adj")
+            )
+            paths = oriented.join(adj, "dst").select("src", "adj")
+            if closure == "auto":
+                m = oriented.count()
+                closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
+            if closure == "broadcast":
+                hub_ids = _top_hub_ids(deg, hub_k) if hub_k and hub_k > 0 else None
+                probe = _build_probe(spark, oriented, key_base, hub_ids)
+                mark("build_sec")
+                per_part = paths.mapInPandas(_arrow_count_udf(probe), schema="tri long")
+                result = per_part.agg(
+                    F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles")
+                )
+            else:
+                mark("build_sec")
+                pairs = paths.mapInPandas(
+                    _emit_pairs_arrow_udf(), schema="src long, dst long"
+                )
+                canon = pairs.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                result = canon.join(
+                    _canonical(oriented), ["src", "dst"], "left_semi"
+                ).agg(F.count("*").alias("triangles"))
+            out = _finish(result, caches, spark)
+            mark("exec_sec")
+            return out
+
+        # strategy == "vertex"
         adj = adjacency(oriented)
         rows = adj.filter(F.col("deg") >= 2).select(
             "v",
@@ -336,50 +588,52 @@ def triangle_count(
             (F.col("deg") - 1).alias("i_hi"),
         )
         if closure == "auto":
-            closure = (
-                "broadcast" if oriented.count() <= BROADCAST_MAX_EDGES else "join"
-            )
+            closure = "broadcast" if oriented.count() <= BROADCAST_MAX_EDGES else "join"
         if closure == "broadcast":
-            probe = _build_probe(spark, oriented, n, 0)
+            probe = _build_probe(spark, oriented, key_base, None)
+            mark("build_sec")
             per_part = rows.mapInPandas(_array_count_udf(probe), schema="tri long")
-            return per_part.agg(
-                F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles")
+            result = per_part.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
+        else:
+            mark("build_sec")
+            pairs = rows.mapInPandas(_emit_pairs_array_udf(), schema="src long, dst long")
+            result = pairs.join(_canonical(oriented), ["src", "dst"], "left_semi").agg(
+                F.count("*").alias("triangles")
             )
-        pairs = rows.mapInPandas(_emit_pairs_array_udf(), schema="src long, dst long")
-        return pairs.join(oriented, ["src", "dst"], "left_semi").agg(
-            F.count("*").alias("triangles")
-        )
+        out = _finish(result, caches, spark)
+        mark("exec_sec")
+        return out
 
-    # sym feeds degrees + two orientation joins — persist once
-    sym = symmetrize(normalize_edges(edges)).persist()
-    deg = degrees(sym)
-    oriented = orient_by_degree(sym, deg)
+    if strategy in ("edge", "join"):
+        oriented, _deg, _kb, _cl = _prep(edges, prep, rank_method, partitions, caches)
+        oriented = oriented.persist()
+        caches.append(oriented)
+        mark("prep_sec")
 
-    if strategy == "edge":
-        adj = adjacency(oriented)
-        a_src = adj.select(F.col("v").alias("src"), F.col("adj").alias("adj_src"))
-        a_dst = adj.select(F.col("v").alias("dst"), F.col("adj").alias("adj_dst"))
-        per_edge = (
-            oriented.join(a_src, "src")
-            .join(a_dst, "dst")
-            .select(F.size(F.array_intersect("adj_src", "adj_dst")).alias("c"))
-        )
-        return per_edge.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("triangles"))
-
-    if strategy == "join":
-        e1 = oriented.alias("e1")
-        e2 = oriented.alias("e2")
-        e3 = oriented.alias("e3")
-        tri = (
-            e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-            .join(
+        if strategy == "edge":
+            adj = adjacency(oriented)
+            a_src = adj.select(F.col("v").alias("src"), F.col("adj").alias("adj_src"))
+            a_dst = adj.select(F.col("v").alias("dst"), F.col("adj").alias("adj_dst"))
+            per_edge = (
+                oriented.join(a_src, "src")
+                .join(a_dst, "dst")
+                .select(F.size(F.array_intersect("adj_src", "adj_dst")).alias("c"))
+            )
+            result = per_edge.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("triangles"))
+        else:
+            e1 = oriented.alias("e1")
+            e2 = oriented.alias("e2")
+            e3 = oriented.alias("e3")
+            tri = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).join(
                 e3,
                 (F.col("e1.src") == F.col("e3.src"))
                 & (F.col("e2.dst") == F.col("e3.dst")),
                 "left_semi",
             )
-        )
-        return tri.agg(F.count("*").alias("triangles"))
+            result = tri.agg(F.count("*").alias("triangles"))
+        out = _finish(result, caches, spark)
+        mark("exec_sec")
+        return out
 
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -388,19 +642,21 @@ def wedge_stats(edges: DataFrame) -> DataFrame:
     """Graph summary: n, m (oriented), total wedges of the oriented
     graph, max degree — the reference's sample_degrees report
     (experiments/sample_degrees.cu:505-560)."""
-    sym = symmetrize(normalize_edges(edges))
-    deg = degrees(sym)
-    oriented = orient_by_degree(sym, deg)
-    odeg = degrees(oriented.select("src", "dst"))
-    stats_sym = deg.agg(
-        F.count("*").alias("n"), F.max("degree").alias("max_degree")
-    )
+    caches: list = []
+    oriented, deg, _kb, _cl = _prep(edges, "fast", "scalable", None, caches)
+    odeg = oriented.groupBy(F.col("src")).agg(F.count("*").alias("degree"))
+    stats_sym = deg.agg(F.count("*").alias("n"), F.max("degree").alias("max_degree"))
     stats_or = odeg.agg(
         F.coalesce(F.sum("degree"), F.lit(0)).alias("m_oriented"),
         F.coalesce(
             F.sum(F.expr("degree * (degree - 1) / 2").cast("long")), F.lit(0)
         ).alias("total_wedges"),
     )
-    return stats_sym.crossJoin(stats_or).select(
+    out = stats_sym.crossJoin(stats_or).select(
         "n", "m_oriented", "total_wedges", "max_degree"
     )
+    rows = out.collect()
+    for c in caches:
+        c.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, out.schema)
