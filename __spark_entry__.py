@@ -107,12 +107,13 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # default strategy is "star" (doubly-logarithmic rounds)
     return connected_components(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
-def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_components_hashmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
-        testdata.derived_pagerank_edges(spark, sf_dir), strategy="star"
+        testdata.derived_pagerank_edges(spark, sf_dir), strategy="hashmin"
     )
 
 
@@ -203,9 +204,8 @@ def _q_random_plane_lsh(spark, sf_dir):
         random_plane_lsh_candidates,
     )
 
-    # no SQL oracle (numpy matmul signatures) — differential-tested in
-    # tests/test_similarity.py against brute force; driver records a
-    # rows-only check
+    # oracle: plans/oracles.random_plane_lsh_sql rebuilds the
+    # md5-derived plane matrix in DuckDB and mirrors the banding
     return random_plane_lsh_candidates(_emb(spark, sf_dir))
 
 
@@ -246,7 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_join": _q_tri("join"),
         "pagerank": _q_pagerank,
         "components": _q_components,
-        "components_star": _q_components_star,
+        "components_hashmin": _q_components_hashmin,
         "labelprop": _q_labelprop,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
@@ -284,7 +284,7 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
-        "components_star": oracles.components_sql(
+        "components_hashmin": oracles.components_sql(
             testdata.derived_pagerank_edges_sql()
         ),
         "labelprop": oracles.labelprop_sql(
@@ -303,7 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.fingerprint_sql(),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),
-        # ann_random_plane_lsh intentionally has no oracle entry
+        "ann_random_plane_lsh": oracles.random_plane_lsh_sql(),
         "media_stats": oracles.media_stats_sql(),
         "media_frame_sample": oracles.frame_sample_sql(),
         "events_windowed": oracles.events_windowed_sql(),

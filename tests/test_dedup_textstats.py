@@ -62,6 +62,22 @@ def test_ngram_jaccard(spark):
     assert (0, 4) not in pairs
 
 
+def test_ngram_stop_shingle_cutoff_bounds_candidates(spark):
+    # pathological Zipf head: one shingle shared by EVERY doc would
+    # generate O(N²) candidate pairs; the default cutoff must drop it
+    n = 40
+    rows = [(i, f"common stop shingle unique{i} tail{i} words{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cutoff below n: the 'common stop shingle' trigram (in all 40
+    # docs) is dropped, so NO pair survives (remaining shingles are
+    # unique per doc)
+    got = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=10).collect()
+    assert got == []
+    # with the cutoff disabled the head shingle joins every doc pair
+    got_all = ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=None).collect()
+    assert len(got_all) == n * (n - 1) // 2
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark):
     cands = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs_df(spark)).collect()}
     assert (0, 1) in cands  # identical signature -> all bands agree

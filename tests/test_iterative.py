@@ -144,6 +144,20 @@ def test_components_resume(spark, tmp_path):
     assert resumed == direct
 
 
+def test_resume_refuses_changed_input(spark, tmp_path):
+    # ADVICE r1: the manifest stores an input fingerprint; resuming
+    # against a DIFFERENT graph must fail loudly, not silently continue
+    pairs = _random_directed(9, 40, 60)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "cc_fp")
+    connected_components(df, max_iters=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    other = edges_df(spark, pairs + [(1000, 1001)])
+    with pytest.raises(ValueError, match="fingerprint"):
+        connected_components(
+            other, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        )
+
+
 def test_labelprop_k3_converges_to_min(spark):
     got = {r.v: r.label for r in label_propagation(edges_df(spark, K3), 3).collect()}
     assert got == {0: 0, 1: 0, 2: 0}

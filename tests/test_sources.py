@@ -41,6 +41,47 @@ def test_read_matrix_market(spark, tmp_path):
     assert triangle_count(edges).collect()[0][0] == 1
 
 
+def test_read_matrix_market_multi_file(spark, tmp_path):
+    # ADVICE r1 (medium): one size line PER FILE must be dropped — a
+    # global-min approach would parse the 2nd file's size line as an
+    # edge (5 6 → a bogus vertex pair)
+    d = tmp_path / "mm"
+    d.mkdir()
+    (d / "a.mtx").write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n1 2\n2 3\n"
+    )
+    (d / "b.mtx").write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n5 6 1\n1 3\n"
+    )
+    edges = read_matrix_market(spark, str(d))
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    assert got == [(0, 1), (0, 2), (1, 2)]  # NOT (4, 5) from "5 6 1"
+
+
+def test_write_degree_profile(spark, tmp_path):
+    # S5 sink contract (reference print_degrees, tc.cu:795-814):
+    # sampled (v, degree) rows land as csv; sample of a 4-vertex table
+    # with num >= n is the full table
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        degrees,
+        symmetrize,
+    )
+    from wedge_parallel_triangle_counting_spark.sources.sinks import (
+        write_degree_profile,
+    )
+
+    from .conftest import K4, edges_df
+
+    deg = degrees(symmetrize(edges_df(spark, K4)))
+    out = tmp_path / "profile"
+    write_degree_profile(deg, str(out), num=100)
+    rows = sorted(
+        (int(r.value.split(",")[0]), int(r.value.split(",")[1]))
+        for r in spark.read.text(str(out)).collect()
+    )
+    assert rows == [(0, 3), (1, 3), (2, 3), (3, 3)]
+
+
 def test_degree_distribution_report(spark):
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degrees,

@@ -101,12 +101,13 @@ def test_prep_paths_agree(spark):
 
 def test_no_cached_blocks_leak(spark):
     # ADVICE round 1: triangle_count must release its persisted
-    # intermediates after the terminal action
-    spark.catalog.clearCache()
+    # intermediates after the terminal action (other tests' module
+    # fixtures may hold persists, so assert on the DELTA)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     pairs = _random_graph(23, 30, 200)
     triangle_count(edges_df(spark, pairs)).collect()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_arrow_join_closure(spark):

@@ -43,12 +43,18 @@ class CheckpointedLoop:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         collect_partition_stats: bool = False,
+        fingerprint: dict | None = None,
     ) -> None:
         self.spark = spark
         self.name = name
         self.dir = checkpoint_dir
         self.every = max(checkpoint_every, 1)
         self.collect_partition_stats = collect_partition_stats
+        # input/parameter fingerprint stored in the manifest; resume()
+        # refuses a snapshot whose fingerprint differs (resuming an
+        # iteration over a CHANGED input would silently continue from
+        # stale state)
+        self.fingerprint = fingerprint
         self.history: list[dict] = []
         self._t0 = time.time()
 
@@ -67,6 +73,14 @@ class CheckpointedLoop:
             return None
         with open(mp) as f:
             manifest = json.load(f)
+        stored = manifest.get("fingerprint")
+        if self.fingerprint is not None and stored is not None and stored != self.fingerprint:
+            raise ValueError(
+                f"checkpoint '{self.name}' was written for a different "
+                f"input/parameters (manifest fingerprint {stored!r} != "
+                f"current {self.fingerprint!r}); refusing to resume — "
+                "delete the checkpoint directory to start fresh"
+            )
         self.history = manifest.get("history", [])
         df = self.spark.read.parquet(manifest["path"])
         return df, manifest["iteration"] + 1
@@ -103,7 +117,12 @@ class CheckpointedLoop:
             tmp = self._manifest_path() + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(
-                    {"iteration": iteration, "path": path, "history": self.history},
+                    {
+                        "iteration": iteration,
+                        "path": path,
+                        "history": self.history,
+                        "fingerprint": self.fingerprint,
+                    },
                     f,
                 )
             os.replace(tmp, self._manifest_path())  # atomic manifest swap

@@ -1,14 +1,13 @@
-"""Connected components: HashMin label propagation to fixpoint.
+"""Connected components. Default strategy="star": the large-star/
+small-star trick (Kiveris et al., "Connected Components in MapReduce
+and Beyond"), which contracts paths doubly-logarithmically — the right
+choice on web-scale graphs whose diameter is large.
 
-label(v) starts at v; each iteration takes the min of the vertex's own
-label and its neighbors' labels over the symmetrized edge set;
-converges in O(diameter) rounds to component = min vertex id in the
+strategy="hashmin" keeps the classic label propagation: label(v)
+starts at v; each iteration takes the min of the vertex's own label
+and its neighbors' labels over the symmetrized edge set; converges in
+O(diameter) rounds. Both return component = min vertex id in the
 component (the oracle's reachability definition).
-
-Also `components_twophase`: the large-star/small-star trick
-(Kiveris et al., "Connected Components in MapReduce and Beyond") which
-contracts paths doubly-logarithmically — the right choice on web-scale
-graphs whose diameter is large; exposed as strategy="star".
 
 Per-iteration cost: one join + one agg, same key (v) — static edge
 side pre-partitioned and persisted. Lineage truncated per iteration;
@@ -30,7 +29,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
-    strategy: str = "hashmin",
+    strategy: str = "star",
     partition_stats: bool = False,
 ) -> DataFrame:
     """Returns DataFrame [v: long, component: long] (component = min
@@ -48,12 +47,16 @@ def connected_components(
     sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
     verts = sym.select(F.col("src").alias("v")).distinct()
 
+    # input fingerprint (edge count) guards resume() against a changed
+    # graph; only computed when durable checkpointing is on
+    fp = {"sym_edges": sym.count()} if checkpoint_dir else None
     loop = CheckpointedLoop(
         spark,
         "components",
         checkpoint_dir,
         checkpoint_every,
         collect_partition_stats=partition_stats,
+        fingerprint=fp,
     )
     start = 0
     labels = None
@@ -109,7 +112,6 @@ def _components_star(
     forest. Doubly-logarithmic rounds — preferred at 100 TB scale."""
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    loop = CheckpointedLoop(spark, "components_star", checkpoint_dir, checkpoint_every)
 
     # undirected pair set, canonical (large, small) per row
     e = (
@@ -117,12 +119,17 @@ def _components_star(
         .filter(F.col("src") > F.col("dst"))  # one canonical row per edge
         .repartition(npart, "src")
     )
+    fp = {"canonical_edges": e.count()} if checkpoint_dir else None
+    loop = CheckpointedLoop(
+        spark, "components_star", checkpoint_dir, checkpoint_every, fingerprint=fp
+    )
     cur = e
     start = 0
     if resume:
         got = loop.resume()
         if got is not None:
             cur, start = got
+    prev_cnt = cur.count()
 
     for it in range(start, max_iters):
         # large-star: for each u, connect all strictly-larger neighbors
@@ -156,12 +163,22 @@ def _components_star(
         new_cur = small.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()
-        # materialize first; then test edge-set stability
+        # materialize first; then test edge-set stability. Both sides
+        # are distinct canonical sets, so equal counts + empty one-way
+        # anti-join ⇒ equality — one cheap count on the checkpointed
+        # frame per round, and the anti-join only on count ties
+        # (replaces two shuffling exceptAll jobs per round).
         new_cur = loop.step(new_cur, it)
-        diff = new_cur.exceptAll(cur).count() + cur.exceptAll(new_cur).count()
-        loop.history[-1]["extra"]["diff"] = diff
+        new_cnt = new_cur.count()
+        converged = False
+        if new_cnt == prev_cnt:
+            converged = (
+                new_cur.join(cur, ["src", "dst"], "left_anti").isEmpty()
+            )
+        loop.history[-1]["extra"]["edges"] = new_cnt
         cur = new_cur
-        if diff == 0:
+        prev_cnt = new_cnt
+        if converged:
             break
 
     # parent table: every vertex points to its component min

@@ -67,13 +67,21 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-n-gram Jaccard similarity:
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
 
     Inverted-index self-join for candidates, then |A∩B| from the join
-    count and |A∪B| = |A|+|B|−|A∩B| from per-doc set sizes."""
+    count and |A∪B| = |A|+|B|−|A∩B| from per-doc set sizes.
+
+    `max_shingle_freq` (default ON) drops shingles shared by more than
+    that many documents before the self-join — the stop-shingle cutoff
+    that keeps the Zipf head from exploding the candidate join at web
+    scale (a shingle in k docs contributes k² candidate rows). Note
+    the cutoff changes the similarity semantics slightly: pairs whose
+    overlap is ONLY ultra-common shingles are not near-duplicates in
+    any useful sense. Pass None to disable."""
     sh = shingles(docs, n=n)
     if max_shingle_freq is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)

@@ -43,6 +43,7 @@ def label_propagation(
         checkpoint_dir,
         checkpoint_every,
         collect_partition_stats=partition_stats,
+        fingerprint=({"sym_edges": sym.count()} if checkpoint_dir else None),
     )
     start = 0
     labels = None

@@ -73,6 +73,9 @@ def pagerank(
         checkpoint_dir,
         checkpoint_every,
         collect_partition_stats=partition_stats,
+        fingerprint=(
+            {"n_vertices": n, "damping": damping} if checkpoint_dir else None
+        ),
     )
     start = 0
     ranks = None

@@ -31,7 +31,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 AXIS_BITS = 8
-AXIS_COORDS = [1 + 8 * p for p in range(AXIS_BITS)]  # fixed, 1-based
+AXIS_STRIDE = 8
+
+
+def axis_coords(nbits: int = AXIS_BITS, stride: int = AXIS_STRIDE) -> list[int]:
+    """1-based coordinates whose sign bits form the bucket id. The
+    caller scales `nbits` with the corpus: bucket count 2^nbits should
+    grow with N so per-bucket candidates (≈N²/2^nbits) stay bounded —
+    e.g. nbits ≈ log2(N) keeps expected candidates ≈ N. Requires
+    stride*(nbits-1)+1 <= dim."""
+    return [1 + stride * p for p in range(nbits)]
 
 
 def _dot(a, b):
@@ -98,7 +107,7 @@ def cosine_topk(
 
 def axis_bucket(vec_col, coords: list[int] | None = None):
     """Bucket id from the sign bits of fixed coordinates (1-based)."""
-    coords = coords or AXIS_COORDS
+    coords = coords or axis_coords()
     bucket = F.lit(0)
     for p, c in enumerate(coords):
         bucket = bucket + F.when(
@@ -112,13 +121,23 @@ def lsh_bucket_pairs(
     threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nbits: int = AXIS_BITS,
+    stride: int = AXIS_STRIDE,
 ) -> DataFrame:
     """Candidate pairs sharing an axis-sign bucket, filtered by exact
-    cosine >= threshold. Returns (id_a, id_b, cos), id_a < id_b."""
+    cosine >= threshold. Returns (id_a, id_b, cos), id_a < id_b.
+
+    `nbits` sets the bucket space (2^nbits buckets) — scale it with
+    corpus size (≈log2(N)) so the per-bucket self-join stays ≈linear;
+    the default 8 is a SMALL-N setting. For web scale prefer
+    `random_plane_lsh_candidates`, whose signature bits don't consume
+    embedding coordinates."""
     base = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", axis_bucket(F.col("v"))).withColumn("nrm", _norm(F.col("v")))
+    ).withColumn(
+        "bucket", axis_bucket(F.col("v"), axis_coords(nbits, stride))
+    ).withColumn("nrm", _norm(F.col("v")))
     a = base.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "bucket",

@@ -265,13 +265,18 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """.strip()
 
 
-def ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_freq: int = 1000) -> str:
+    # mirrors ngram_jaccard_pairs' stop-shingle cutoff (default ON):
+    # shingles in more than max_shingle_freq docs are dropped before
+    # the candidate self-join AND before the per-doc set sizes
     return f"""
 WITH {_SHINGLE_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_freq}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -435,12 +440,14 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def lsh_bucket_pairs_sql(threshold: float = 0.2) -> str:
-    from ..operators.similarity import AXIS_COORDS
+def lsh_bucket_pairs_sql(
+    threshold: float = 0.2, nbits: int = 8, stride: int = 8
+) -> str:
+    from ..operators.similarity import axis_coords
 
     bucket = " + ".join(
         f"(CASE WHEN v[{c}] >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, c in enumerate(AXIS_COORDS)
+        for p, c in enumerate(axis_coords(nbits, stride))
     )
     return f"""
 WITH base AS (
@@ -458,6 +465,51 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
 FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+""".strip()
+
+
+def random_plane_lsh_sql(
+    nbits: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    seed: str = "wetric",
+) -> str:
+    """Mirrors random_plane_lsh_candidates bit for bit: the ±1 plane
+    matrix is md5-derived (plane[p][j] = +1 iff md5('{seed}:p:j')
+    byte 0 is odd — similarity._planes), so DuckDB can rebuild it;
+    signatures are sign bits of the plane dot products, band b is bits
+    [b*rows, (b+1)*rows), candidates agree on ≥1 band."""
+    rows = nbits // bands
+    mask = (1 << rows) - 1
+    return f"""
+WITH planes AS (
+    SELECT p, j,
+           (CASE WHEN (('0x' || substr(md5('{seed}:' || p || ':' || j), 1, 2))::INTEGER % 2) = 1
+                 THEN 1.0 ELSE -1.0 END) AS w
+    FROM range({nbits}) t1(p), range({dim}) t2(j)
+),
+vals AS (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           generate_subscripts(embedding, 1) - 1 AS j,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+),
+bits AS (
+    SELECT v.vec_id, pl.p,
+           (CASE WHEN sum(v.val * pl.w) >= 0 THEN 1 ELSE 0 END) AS bit
+    FROM vals v JOIN planes pl ON v.j = pl.j
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS sig
+    FROM bits GROUP BY vec_id
+),
+bands AS (
+    SELECT vec_id, b, (sig >> (b * {rows})) & {mask} AS band
+    FROM sigs, range({bands}) t(b)
+)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+FROM bands a JOIN bands c ON a.b = c.b AND a.band = c.band AND a.vec_id < c.vec_id
 """.strip()
 
 

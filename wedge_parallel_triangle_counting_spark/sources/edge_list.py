@@ -42,16 +42,20 @@ def read_edge_list(
 def read_matrix_market(
     spark: SparkSession, path: str, one_indexed: bool = True
 ) -> DataFrame:
-    """Matrix Market: %-comments, then one size line (rows cols nnz),
-    then edges. The size line is dropped by position — identified with
-    a per-file zipWithIndex over non-comment lines (driver-free)."""
-    lines = spark.read.text(path)
+    """Matrix Market: %-comments, then ONE size line (rows cols nnz)
+    PER FILE, then edges. A directory/glob of .mtx files therefore has
+    one size line per input file; each is identified as the minimum
+    monotonically_increasing_id within its own file (ids are ordered
+    within a file split) and dropped with a broadcast anti-join —
+    never by a single global minimum, which would let the other files'
+    size lines parse as bogus edges."""
+    lines = spark.read.text(path).withColumn("_file", F.input_file_name())
     data = lines.filter(~F.col("value").startswith("%")).filter(
         F.trim(F.col("value")) != ""
     )
-    # tag rows with a monotonically increasing id and drop the global
-    # minimum (the size line is the first non-comment line of the file)
     tagged = data.withColumn("_rid", F.monotonically_increasing_id())
-    first = tagged.agg(F.min("_rid")).collect()[0][0]
-    body = tagged.filter(F.col("_rid") != first).drop("_rid")
+    firsts = tagged.groupBy("_file").agg(F.min("_rid").alias("_rid"))
+    body = tagged.join(
+        F.broadcast(firsts), ["_file", "_rid"], "left_anti"
+    ).drop("_rid", "_file")
     return normalize_edges(_parse_pairs(body), one_indexed=one_indexed)

@@ -7,10 +7,16 @@ availableNow trigger) — the batch/stream parity is asserted in tests,
 which is Spark's core unified-API guarantee.
 
 Streaming state scale: the aggregation state is keyed by
-(window, event_type); the 1-hour watermark bounds it — late rows
-beyond the watermark are dropped and state for closed windows is
-evicted, so state size is O(active windows × types), independent of
-stream length.
+(window, event_type). State eviction is OUTPUT-MODE dependent:
+- "update"/"append": the watermark closes windows — late rows beyond
+  it are dropped and closed-window state is evicted, so state is
+  O(active windows × types), independent of stream length; this is
+  the production setting for an unbounded stream.
+- "complete" (the default here, for the memory-sink parity check):
+  Spark must be able to re-emit EVERY window each trigger, so the
+  watermark does NOT evict state — state grows with the number of
+  distinct windows. Fine for a bounded availableNow replay; not for
+  an unbounded stream.
 """
 
 from __future__ import annotations
@@ -44,11 +50,21 @@ def run_streaming_windowed(
     events_dir: str,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Run the windowed aggregation as an incremental stream over the
     parquet files in `events_dir` (Trigger.AvailableNow — process all
     available data, then stop) and return the result collected from a
-    memory sink."""
+    memory sink.
+
+    `output_mode="complete"` (default) re-emits all windows — exact
+    batch parity on a bounded replay, but unbounded state (see module
+    docstring). Use "update" for watermark-bounded state on unbounded
+    streams; the memory sink then receives one row per UPDATED window
+    per micro-batch, so the returned table is deduplicated to the last
+    emission per (window_start, event_type) — windows still open at
+    end-of-input are included, windows closed by the watermark carry
+    their final value."""
     schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     # parquet stores TIMESTAMP_NTZ; watermarks require TIMESTAMP
@@ -59,10 +75,22 @@ def run_streaming_windowed(
     query = (
         agg.writeStream.format("memory")
         .queryName("windowed_events")
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return spark.table("windowed_events")
+    out = spark.table("windowed_events")
+    if output_mode == "update":
+        # keep the LAST emission per window key (micro-batch order)
+        w_all = out.withColumn("_seq", F.monotonically_increasing_id())
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("window_start", "event_type").orderBy(F.desc("_seq"))
+        )
+        out = (
+            w_all.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn", "_seq")
+        )
+    return out
