@@ -78,21 +78,39 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # drop persisted frames the query pipeline cached so queries
-        # don't contend for executor memory with each other
-        spark.catalog.clearCache()
+    def timed(name, fn, repeats=2):
+        # best-of-k (reference protocol: discard run 0, take best —
+        # tc.cu:894-913): this box's vCPUs are oversubscribed and
+        # host load injects multi-second noise into single runs
+        best = None
+        out = None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop persisted frames the query pipeline cached so
+            # queries don't contend for executor memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
         return out
 
     e = bench_edges(spark, sf_dir)
-    tri = timed(
-        "triangles_wedge", lambda: triangle_count(e, strategy="wedge").collect()[0][0]
-    )
+    phases: dict[str, float] = {}
+
+    def run_wedge():
+        phases.clear()  # phases reflect the last repeat
+        return triangle_count(e, strategy="wedge", phase_metrics=phases).collect()[0][0]
+
+    tri = timed("triangles_wedge", run_wedge)
     extra["triangles"] = tri
+    # per-query phase split (reference accounting, tc.cu:886-913):
+    # prep = symmetrize/orient, build = stats+probe copy, exec = count
+    extra["wedge_phases"] = phases
     timed("triangles_edge", lambda: triangle_count(e, strategy="edge").collect()[0][0])
+    timed(
+        "triangles_arrow", lambda: triangle_count(e, strategy="arrow").collect()[0][0]
+    )
 
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degrees,
@@ -108,7 +126,14 @@ def main() -> None:
 
     pe = pr_edges(spark, sf_dir)
     timed("pagerank_5it", lambda: pagerank(pe, num_iters=5).count())
+    # both strategies: star (default; doubly-log rounds, the 100 TB
+    # choice) and hashmin (O(diameter) rounds; cheaper per round, wins
+    # on this small-diameter bench graph)
     timed("components", lambda: connected_components(pe).count())
+    timed(
+        "components_hashmin",
+        lambda: connected_components(pe, strategy="hashmin").count(),
+    )
     timed("labelprop_3it", lambda: label_propagation(pe, num_iters=3).count())
     timed("ingest_edges", lambda: pages_to_edges(doc_pages(spark, sf_dir))[0].count())
 

@@ -64,7 +64,7 @@ def test_fused_prep_single_edge_shuffle(spark):
 
     edges = testdata.derived_edges(spark, SF)
     caches: list = []
-    oriented, _deg, _n, _mx = prepare_oriented_fast(edges, 8, caches=caches)
+    oriented, _deg, _n, _mx, _st = prepare_oriented_fast(edges, 8, caches=caches)
     plan = _plan(oriented.sortWithinPartitions("src", "dst"))
     import re
 
@@ -104,7 +104,7 @@ def test_wedge_range_partitioner_is_range_partitioning(spark):
 
     edges = testdata.derived_edges(spark, SF)
     caches: list = []
-    oriented, _deg, _n, _mx = prepare_oriented_fast(edges, 8, caches=caches)
+    oriented, _deg, _n, _mx, _st = prepare_oriented_fast(edges, 8, caches=caches)
     odeg = oriented.groupBy("src").agg(F.count("*").alias("deg"))
     flat = _wedge_range_flat(oriented, odeg, 8, caches)
     plan = _plan(flat)

@@ -76,13 +76,12 @@ for _ in range(min(reps, 2)):
 
 # --- staged: prep / copy / exec (reference accounting) ----------------
 t0 = time.perf_counter()
-oriented, ranks, n = G.prepare_oriented(amp)
-flat = oriented.repartition(max(cpus * 2, 8), "src").sortWithinPartitions(
-    "src", "dst").persist()
+oriented, deg, n, max_id, stats = G.prepare_oriented_fast(amp)
+flat = oriented.sortWithinPartitions("src", "dst").persist()
 mo = flat.count()
 prep_sec = round(time.perf_counter() - t0, 2)
 t0 = time.perf_counter()
-probe = T._build_probe(spark, flat, n, 8192)
+probe = T._build_probe(spark, flat, max_id + 1, 8192, deg)
 copy_sec = round(time.perf_counter() - t0, 2)
 exec_secs = []
 for _ in range(reps + 2):  # extra warm reps, reference discards run 0
@@ -184,7 +183,7 @@ meaningful. Timing follows the reference's accounting split
 | exec (wedge enumerate + closure probe) | {lo['exec_sec']:.2f} s | {hi['exec_sec']:.2f} s | **{xe:.3f}** |
 | end-to-end (prep + distributed-closure count) | {lo['e2e_sec']:.2f} s | {hi['e2e_sec']:.2f} s | **{ee:.3f}** |
 | PageRank 5 iterations | {lo['pagerank5_sec']:.2f} s | {hi['pagerank5_sec']:.2f} s | **{pe_:.3f}** |
-| prep (symmetrize→rank→orient) | {lo['prep_sec']:.2f} s | {hi['prep_sec']:.2f} s | — |
+| prep (fused symmetrize→degrees→orient, one shuffle) | {lo['prep_sec']:.2f} s | {hi['prep_sec']:.2f} s | — |
 | probe build ("copy") | {lo['copy_sec']:.2f} s | {hi['copy_sec']:.2f} s | — |
 
 Exec throughput: {lo['m_oriented'] / lo['exec_sec']:,.0f} edges/s @ N,

@@ -138,20 +138,26 @@ def _components_star(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+        # no intermediate distinct: downstream min-aggs are
+        # duplicate-insensitive and new_cur ends in a distinct — the
+        # duplicate factor is bounded by the round's edge count, and
+        # dropping it saves a full shuffle per round
         large = (
             nbrs.join(mins, "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.least("mn", F.col("src")).alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
         # small-star: for each u, connect all smaller-or-equal neighbors
         # to the min
         nbrs2 = large.select("src", "dst").unionByName(
             large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # self rows (u, u) need no dedup: min-agg and the final
+        # distinct absorb duplicates, and dropping the distinct saves
+        # one shuffle per round
         small_nbrs = nbrs2.filter(F.col("dst") < F.col("src")).unionByName(
-            nbrs2.select(F.col("src"), F.col("src").alias("dst")).distinct()
+            nbrs2.select(F.col("src"), F.col("src").alias("dst"))
         )
         mins2 = small_nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
         small = (

@@ -177,9 +177,11 @@ def prepare_oriented_fast(
     edges: DataFrame,
     npartitions: int | None = None,
     caches: list | None = None,
-) -> tuple[DataFrame, DataFrame, int, int]:
+) -> tuple[DataFrame, DataFrame, int, int, dict]:
     """Fused preprocessing in ORIGINAL id space: dirty edges →
-    (oriented, degrees, n, max_id), with ONE edge-sized shuffle.
+    (oriented, degrees, n, max_id, stats), with ONE edge-sized shuffle
+    and ONE driver action (stats = {n, max_id, m_oriented,
+    max_degree}).
 
     The whole chain runs on a single hash(src) partitioning:
     - union(clean, flipped) is repartitioned by src — the only
@@ -209,13 +211,30 @@ def prepare_oriented_fast(
     spark = edges.sparkSession
     npart = npartitions or spark.sparkContext.defaultParallelism
     clean = drop_self_loops(normalize_edges(edges))
-    flipped = clean.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    both = clean.unionByName(flipped).repartition(npart, "src")
+    # both directions from ONE scan (a union of clean+flipped reads
+    # the source twice); explode stays in whole-stage codegen
+    both = clean.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").repartition(npart, "src")
     sym = both.dropDuplicates(["src", "dst"]).persist()
     if caches is not None:
         caches.append(sym)
     deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
-    row = deg.agg(F.count("*").alias("n"), F.max("src").alias("mx")).collect()[0]
+    # ONE stats action materializes sym AND yields every scalar the
+    # downstream strategies need (n, max id, m, max degree) — callers
+    # should not run further stats jobs (per-job launch latency is the
+    # dominant cost at small scale, tc.cu's 'preprocessing' ledger)
+    row = deg.agg(
+        F.count("*").alias("n"),
+        F.max("src").alias("mx"),
+        F.coalesce(F.sum("degree"), F.lit(0)).alias("m_sym"),
+        F.max("degree").alias("max_deg"),
+    ).collect()[0]
     n = row["n"]
     max_id = row["mx"] if row["mx"] is not None else -1
 
@@ -233,7 +252,13 @@ def prepare_oriented_fast(
         # src clustering the downstream CSR lane relies on
         oriented = oriented.repartition(npart, "src")
     deg_out = deg.select(F.col("src").alias("v"), "degree")
-    return oriented, deg_out, n, max_id
+    stats = {
+        "n": n,
+        "max_id": max_id,
+        "m_oriented": int(row["m_sym"]) // 2,
+        "max_degree": row["max_deg"] if row["max_deg"] is not None else 0,
+    }
+    return oriented, deg_out, n, max_id, stats
 
 
 def adjacency(oriented: DataFrame) -> DataFrame:

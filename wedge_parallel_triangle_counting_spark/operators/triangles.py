@@ -292,22 +292,21 @@ def _collect_long_cols(df: DataFrame, a: str, b: str) -> tuple[np.ndarray, np.nd
         )
 
 
-def _build_probe(
-    spark: SparkSession,
-    oriented: DataFrame,
-    key_base: int,
-    hub_ids: np.ndarray | None,
-) -> _Probe:
-    if key_base * key_base > 2**62:
-        raise ValueError("vertex domain too large for int64 edge keys")
-    src, dst = _collect_long_cols(oriented, "src", "dst")
-    edge_keys = wk.build_edge_keys(src, dst, key_base)
-    hub_bc = None
-    if hub_ids is not None and len(hub_ids):
-        bitmap = wk.build_hub_bitmap(src, dst, hub_ids)
-        hub_bc = spark.sparkContext.broadcast(bitmap)
-    keys_bc = spark.sparkContext.broadcast(edge_keys)
-    return _Probe(keys_bc, key_base, hub_bc, hub_ids)
+# Below this edge count the bitmap's top-k hub set is derived from the
+# ALREADY-collected probe arrays with numpy (zero extra Spark actions);
+# above it a distributed top-k job is cheaper than a driver-side sort.
+NUMPY_TOPK_MAX_EDGES = 8_000_000
+
+
+def _numpy_top_hub_ids(src: np.ndarray, dst: np.ndarray, hub_k: int) -> np.ndarray:
+    """Top-hub_k vertex ids by (symmetric degree, id) computed from the
+    collected oriented edge arrays — each undirected edge appears once,
+    so occurrence count across src∪dst IS the symmetric degree."""
+    ids, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
+    if len(ids) > hub_k:
+        order = np.lexsort((ids, counts))[-hub_k:]
+        ids = ids[order]
+    return np.sort(ids)
 
 
 def _top_hub_ids(deg: DataFrame, hub_k: int) -> np.ndarray:
@@ -319,6 +318,30 @@ def _top_hub_ids(deg: DataFrame, hub_k: int) -> np.ndarray:
         deg.orderBy(F.desc("degree"), F.desc("v")).limit(hub_k).select("v").collect()
     )
     return np.sort(np.array([r["v"] for r in rows], dtype=np.int64))
+
+
+def _build_probe(
+    spark: SparkSession,
+    oriented: DataFrame,
+    key_base: int,
+    hub_k: int,
+    deg: DataFrame,
+) -> _Probe:
+    if key_base * key_base > 2**62:
+        raise ValueError("vertex domain too large for int64 edge keys")
+    src, dst = _collect_long_cols(oriented, "src", "dst")
+    edge_keys = wk.build_edge_keys(src, dst, key_base)
+    hub_bc = None
+    hub_ids = None
+    if hub_k and hub_k > 0 and len(src):
+        if len(src) <= NUMPY_TOPK_MAX_EDGES:
+            hub_ids = _numpy_top_hub_ids(src, dst, hub_k)
+        else:
+            hub_ids = _top_hub_ids(deg, hub_k)
+        bitmap = wk.build_hub_bitmap(src, dst, hub_ids)
+        hub_bc = spark.sparkContext.broadcast(bitmap)
+    keys_bc = spark.sparkContext.broadcast(edge_keys)
+    return _Probe(keys_bc, key_base, hub_bc, hub_ids)
 
 
 def _canonical(oriented: DataFrame) -> DataFrame:
@@ -374,29 +397,40 @@ def _wedge_count(
     clustered_by_src: bool,
     partitioner: str,
     caches: list,
+    stats: dict | None,
 ) -> DataFrame:
     """Two-lane wedge-parallel count over degree-oriented edges."""
     npart = partitions or spark.sparkContext.defaultParallelism
 
-    # ONE stats job over the persisted oriented set: total m (drives
-    # the broadcast-vs-join closure choice) + the number of split-hub
-    # vertices (wedge count d(d-1)/2 > split_budget). Scalars only —
-    # hub ROUTING is by join, never a driver-side id list.
     hub_min_deg = int((2 * split_budget) ** 0.5) + 2
     odeg = oriented.groupBy("src").agg(F.count("*").alias("deg"))
-    st = odeg.agg(
-        F.coalesce(F.sum("deg"), F.lit(0)).alias("m"),
-        F.coalesce(
-            F.sum(F.when(F.col("deg") >= hub_min_deg, 1).otherwise(0)), F.lit(0)
-        ).alias("n_hubs"),
-    ).collect()[0]
-    m, n_hubs = st["m"], st["n_hubs"]
+    if stats is not None:
+        # the fast prep's single stats action already produced every
+        # scalar: m drives the closure choice; max SYMMETRIC degree
+        # bounds the max out-degree, so max_degree < hub_min_deg
+        # proves the hub lane empty with NO extra job. When hubs are
+        # possible the lane is built unconditionally (maybe empty) —
+        # routing stays a join either way, never a driver id list.
+        m = stats["m_oriented"]
+        maybe_hubs = stats["max_degree"] >= hub_min_deg
+        route_broadcast = stats["n"] <= HUB_ROUTE_BROADCAST_MAX
+    else:
+        # relabel path: one stats job over the persisted oriented set
+        st = odeg.agg(
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("m"),
+            F.coalesce(
+                F.sum(F.when(F.col("deg") >= hub_min_deg, 1).otherwise(0)), F.lit(0)
+            ).alias("n_hubs"),
+        ).collect()[0]
+        m = st["m"]
+        maybe_hubs = st["n_hubs"] > 0
+        route_broadcast = st["n_hubs"] <= HUB_ROUTE_BROADCAST_MAX
 
     flat_edges = oriented
     hub_chunks = None
-    if n_hubs > 0:
+    if maybe_hubs:
         hubs = odeg.filter(F.col("deg") >= hub_min_deg).select("src")
-        if n_hubs <= HUB_ROUTE_BROADCAST_MAX:
+        if route_broadcast:
             hubs = F.broadcast(hubs)
         flat_edges = oriented.join(hubs, "src", "left_anti")
         hub_edges = oriented.join(hubs, "src", "left_semi")
@@ -407,7 +441,7 @@ def _wedge_count(
 
     if partitioner == "wedge_range":
         flat_odeg = (
-            odeg.filter(F.col("deg") < hub_min_deg) if n_hubs > 0 else odeg
+            odeg.filter(F.col("deg") < hub_min_deg) if maybe_hubs else odeg
         )
         flat_parted = _wedge_range_flat(flat_edges, flat_odeg, npart, caches)
     elif clustered_by_src and partitions is None:
@@ -423,8 +457,7 @@ def _wedge_count(
         closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
 
     if closure == "broadcast":
-        hub_ids = _top_hub_ids(deg, hub_k) if hub_k and hub_k > 0 else None
-        probe = _build_probe(spark, oriented, key_base, hub_ids)
+        probe = _build_probe(spark, oriented, key_base, hub_k, deg)
         counts = flat_parted.mapInPandas(_flat_count_udf(probe), schema="tri long")
         if hub_chunks is not None:
             counts = counts.unionByName(
@@ -449,15 +482,18 @@ def _prep(
     rank_method: str,
     npart: int | None,
     caches: list,
-) -> tuple[DataFrame, DataFrame, int, bool]:
+) -> tuple[DataFrame, DataFrame, int, bool, dict | None]:
     """Preprocess → (oriented, degree table (v, degree), key_base,
-    clustered_by_src). prep="fast" fuses everything onto one shuffle in
-    original id space; prep="relabel" is the rank-space pipeline (used
-    when ids don't fit integer edge keys, or on request)."""
+    clustered_by_src, stats|None). prep="fast" fuses everything onto
+    one shuffle in original id space and returns its free stats;
+    prep="relabel" is the rank-space pipeline (used when ids don't fit
+    integer edge keys, or on request)."""
     if prep in ("auto", "fast"):
-        oriented, deg, n, max_id = prepare_oriented_fast(edges, npart, caches=caches)
+        oriented, deg, n, max_id, stats = prepare_oriented_fast(
+            edges, npart, caches=caches
+        )
         if prep == "fast" or (max_id + 1) ** 2 <= 2**62:
-            return oriented, deg, max_id + 1, True
+            return oriented, deg, max_id + 1, True, stats
         for c in caches:
             c.unpersist()
         caches.clear()
@@ -465,7 +501,7 @@ def _prep(
     # rank space: degree rank IS the id order, so the degree table for
     # the hub bitmap is just (rank, rank) — top-k ranks = top-k degrees
     deg = ranks.select(F.col("rank").alias("v"), F.col("rank").alias("degree"))
-    return oriented, deg, n, False
+    return oriented, deg, n, False, None
 
 
 def _finish(result: DataFrame, caches: list, spark: SparkSession) -> DataFrame:
@@ -515,7 +551,7 @@ def triangle_count(
             t0 = now
 
     if strategy in ("wedge", "arrow", "vertex"):
-        oriented, deg, key_base, clustered = _prep(
+        oriented, deg, key_base, clustered, stats = _prep(
             edges, prep, rank_method, partitions, caches
         )
         oriented = oriented.persist()
@@ -535,6 +571,7 @@ def triangle_count(
                 clustered_by_src=clustered,
                 partitioner=partitioner,
                 caches=caches,
+                stats=stats,
             )
             mark("build_sec")
             out = _finish(result, caches, spark)
@@ -552,11 +589,10 @@ def triangle_count(
             )
             paths = oriented.join(adj, "dst").select("src", "adj")
             if closure == "auto":
-                m = oriented.count()
+                m = stats["m_oriented"] if stats is not None else oriented.count()
                 closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
             if closure == "broadcast":
-                hub_ids = _top_hub_ids(deg, hub_k) if hub_k and hub_k > 0 else None
-                probe = _build_probe(spark, oriented, key_base, hub_ids)
+                probe = _build_probe(spark, oriented, key_base, hub_k, deg)
                 mark("build_sec")
                 per_part = paths.mapInPandas(_arrow_count_udf(probe), schema="tri long")
                 result = per_part.agg(
@@ -588,9 +624,10 @@ def triangle_count(
             (F.col("deg") - 1).alias("i_hi"),
         )
         if closure == "auto":
-            closure = "broadcast" if oriented.count() <= BROADCAST_MAX_EDGES else "join"
+            m = stats["m_oriented"] if stats is not None else oriented.count()
+            closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
         if closure == "broadcast":
-            probe = _build_probe(spark, oriented, key_base, None)
+            probe = _build_probe(spark, oriented, key_base, 0, deg)
             mark("build_sec")
             per_part = rows.mapInPandas(_array_count_udf(probe), schema="tri long")
             result = per_part.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
@@ -605,7 +642,7 @@ def triangle_count(
         return out
 
     if strategy in ("edge", "join"):
-        oriented, _deg, _kb, _cl = _prep(edges, prep, rank_method, partitions, caches)
+        oriented, _deg, _kb, _cl, _st = _prep(edges, prep, rank_method, partitions, caches)
         oriented = oriented.persist()
         caches.append(oriented)
         mark("prep_sec")
@@ -643,7 +680,7 @@ def wedge_stats(edges: DataFrame) -> DataFrame:
     graph, max degree — the reference's sample_degrees report
     (experiments/sample_degrees.cu:505-560)."""
     caches: list = []
-    oriented, deg, _kb, _cl = _prep(edges, "fast", "scalable", None, caches)
+    oriented, deg, _kb, _cl, _st = _prep(edges, "fast", "scalable", None, caches)
     odeg = oriented.groupBy(F.col("src")).agg(F.count("*").alias("degree"))
     stats_sym = deg.agg(F.count("*").alias("n"), F.max("degree").alias("max_degree"))
     stats_or = odeg.agg(
