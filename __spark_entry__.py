@@ -97,6 +97,33 @@ def _q_ingest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.clustering import (
+        local_triangle_counts,
+    )
+
+    return local_triangle_counts(testdata.derived_edges(spark, sf_dir))
+
+
+KCORE_K = 45  # on the sf0.01 iter graph this peels some-but-not-all
+# vertices over multiple rounds (k=3 would be a no-op on these dense
+# modulus-derived fixtures)
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
+
+    return k_core(testdata.derived_pagerank_edges(spark, sf_dir), k=KCORE_K)
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(_docs(spark, sf_dir))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -244,6 +271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_vertex": _q_tri("vertex"),
         "triangles_edge": _q_tri("edge"),
         "triangles_join": _q_tri("join"),
+        "graph_local_clustering": _q_local_clustering,
+        "graph_kcore": _q_kcore,
         "pagerank": _q_pagerank,
         "components": _q_components,
         "components_hashmin": _q_components_hashmin,
@@ -255,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
+        "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -280,6 +310,10 @@ def oracle_sql() -> dict[str, str]:
         "triangles_vertex": tri,
         "triangles_edge": tri,
         "triangles_join": tri,
+        "graph_local_clustering": oracles.local_clustering_sql(),
+        "graph_kcore": oracles.kcore_sql(
+            k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
@@ -297,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_simhash": oracles.simhash_sql(),
+        "dedup_simhash_near_pairs": oracles.simhash_near_pairs_sql(),
         "text_token_count": oracles.token_count_sql(),
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_score_sql(),

@@ -1,0 +1,128 @@
+"""Local clustering coefficient, k-core, and SimHash near-pairs —
+brute-force differential tests on random graphs/corpora."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+
+from wedge_parallel_triangle_counting_spark.operators.clustering import (
+    local_triangle_counts,
+)
+from wedge_parallel_triangle_counting_spark.operators.dedup import (
+    simhash,
+    simhash_near_pairs,
+)
+from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
+
+from .conftest import edges_df
+
+
+def _und(pairs):
+    return {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+
+def _adj(und):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _random_graph(seed, n, m):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+@pytest.mark.parametrize("seed", [2, 11])
+def test_local_clustering_matches_bruteforce(spark, seed):
+    pairs = _random_graph(seed, 40, 220)
+    adj = _adj(_und(pairs))
+    want_t = {
+        v: sum(
+            1
+            for a, b in itertools.combinations(sorted(adj[v]), 2)
+            if b in adj[a]
+        )
+        for v in adj
+    }
+    got = {
+        r.v: (r.tri_count, r.lcc)
+        for r in local_triangle_counts(edges_df(spark, pairs)).collect()
+    }
+    assert set(got) == set(adj)
+    for v in adj:
+        d = len(adj[v])
+        assert got[v][0] == want_t[v], v
+        want_lcc = round(want_t[v] * 2.0 / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert abs(got[v][1] - want_lcc) < 1e-9, v
+
+
+def test_local_clustering_triangle_sum(spark):
+    # sum of per-vertex counts = 3 * global triangle count
+    from wedge_parallel_triangle_counting_spark.operators.triangles import (
+        triangle_count,
+    )
+
+    pairs = _random_graph(5, 30, 200)
+    df = edges_df(spark, pairs)
+    per_v = local_triangle_counts(df).agg({"tri_count": "sum"}).collect()[0][0]
+    total = triangle_count(df).collect()[0][0]
+    assert per_v == 3 * total
+
+
+def _brute_kcore(pairs, k):
+    und = _und(pairs)
+    while True:
+        adj = _adj(und)
+        bad = {v for v, ns in adj.items() if len(ns) < k}
+        if not bad:
+            return adj
+        und = {(a, b) for a, b in und if a not in bad and b not in bad}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_kcore_matches_bruteforce(spark, k):
+    pairs = _random_graph(7, 35, 150)
+    want = _brute_kcore(pairs, k)
+    got = {r.v: r.core_degree for r in k_core(edges_df(spark, pairs), k=k).collect()}
+    assert got == {v: len(ns) for v, ns in want.items()}
+
+
+def test_kcore_triangle_graph(spark):
+    # K4 minus one edge: 2-core is everything, 3-core is empty
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3)]
+    assert k_core(edges_df(spark, pairs), k=3).count() == 0
+    got = {r.v: r.core_degree for r in k_core(edges_df(spark, pairs), k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 2, 3: 2}
+
+
+def test_simhash_near_pairs_exact_recall(spark):
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # identical
+        (2, "the quick brown fox jumps over the lazy cat"),  # near
+        (3, "completely different words entirely unrelated content"),
+        (4, "another unrelated block of text with other words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in simhash_near_pairs(df).collect()}
+    # pigeonhole guarantees EXACT recall at hamming <= bands-1
+    assert got == want
+    assert (0, 1, 0) in got  # identical docs at distance 0
+
+
+def test_simhash_near_pairs_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=5, bands=4)

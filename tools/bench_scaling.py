@@ -81,7 +81,7 @@ flat = oriented.sortWithinPartitions("src", "dst").persist()
 mo = flat.count()
 prep_sec = round(time.perf_counter() - t0, 2)
 t0 = time.perf_counter()
-probe = T._build_probe(spark, flat, max_id + 1, 8192, deg)
+probe = T._build_probe(spark, flat, max_id + 1, 8192)
 copy_sec = round(time.perf_counter() - t0, 2)
 exec_secs = []
 for _ in range(reps + 2):  # extra warm reps, reference discards run 0

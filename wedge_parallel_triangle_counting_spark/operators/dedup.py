@@ -145,6 +145,54 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     return out.distinct()
 
 
+SIMHASH_BANDS = 4
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance:
+    (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <= max_hamming.
+
+    Banded candidate generation (pigeonhole: hamming <= bands-1
+    guarantees at least one band of bits/bands matches exactly, so
+    recall is EXACT for max_hamming <= bands-1), then the precise
+    Hamming filter via xor+bit_count — never an all-pairs join."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {bands - 1} bands for exact recall"
+        )
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    sig = simhash(docs, bits=bits).persist()
+    frames = []
+    for b in range(bands):
+        band = sig.select(
+            "doc_id",
+            "simhash",
+            F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask)).alias("band"),
+        )
+        x = band.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band")
+        y = band.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band")
+        frames.append(
+            x.join(y, "band")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "sa", "sb")
+        )
+    cand = frames[0]
+    for fdf in frames[1:]:
+        cand = cand.unionByName(fdf)
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — token-level SimHash: bit j is the sign of
     Σ_tokens (±1 depending on bit j of the token's md5 hash), weighted

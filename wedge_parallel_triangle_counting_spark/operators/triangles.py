@@ -292,12 +292,6 @@ def _collect_long_cols(df: DataFrame, a: str, b: str) -> tuple[np.ndarray, np.nd
         )
 
 
-# Below this edge count the bitmap's top-k hub set is derived from the
-# ALREADY-collected probe arrays with numpy (zero extra Spark actions);
-# above it a distributed top-k job is cheaper than a driver-side sort.
-NUMPY_TOPK_MAX_EDGES = 8_000_000
-
-
 def _numpy_top_hub_ids(src: np.ndarray, dst: np.ndarray, hub_k: int) -> np.ndarray:
     """Top-hub_k vertex ids by (symmetric degree, id) computed from the
     collected oriented edge arrays — each undirected edge appears once,
@@ -309,23 +303,11 @@ def _numpy_top_hub_ids(src: np.ndarray, dst: np.ndarray, hub_k: int) -> np.ndarr
     return np.sort(ids)
 
 
-def _top_hub_ids(deg: DataFrame, hub_k: int) -> np.ndarray:
-    """Sorted ids of the top-hub_k vertices by (degree, id) — the
-    bitmap's vertex set (reference covers the top hub_k RANKS,
-    tc.cu:329-346; in un-relabeled space that is the top degrees).
-    Bounded collect: ≤ hub_k ids (64 KB at the default 8192)."""
-    rows = (
-        deg.orderBy(F.desc("degree"), F.desc("v")).limit(hub_k).select("v").collect()
-    )
-    return np.sort(np.array([r["v"] for r in rows], dtype=np.int64))
-
-
 def _build_probe(
     spark: SparkSession,
     oriented: DataFrame,
     key_base: int,
     hub_k: int,
-    deg: DataFrame,
 ) -> _Probe:
     if key_base * key_base > 2**62:
         raise ValueError("vertex domain too large for int64 edge keys")
@@ -334,10 +316,11 @@ def _build_probe(
     hub_bc = None
     hub_ids = None
     if hub_k and hub_k > 0 and len(src):
-        if len(src) <= NUMPY_TOPK_MAX_EDGES:
-            hub_ids = _numpy_top_hub_ids(src, dst, hub_k)
-        else:
-            hub_ids = _top_hub_ids(deg, hub_k)
+        # the probe arrays are already in driver memory (the broadcast
+        # path caps them at BROADCAST_MAX_EDGES), so a numpy top-k is
+        # strictly cheaper than a Spark degree re-aggregation job —
+        # the copy phase stays free of extra cluster actions
+        hub_ids = _numpy_top_hub_ids(src, dst, hub_k)
         bitmap = wk.build_hub_bitmap(src, dst, hub_ids)
         hub_bc = spark.sparkContext.broadcast(bitmap)
     keys_bc = spark.sparkContext.broadcast(edge_keys)
@@ -377,7 +360,10 @@ def _wedge_range_flat(
         "src",
         F.floor(F.col("cum") * npart / total).cast("int").alias("pid"),
     )
-    tagged = flat_edges.join(F.broadcast(pid_map), "src")
+    # no broadcast hint: the pid map has one row per flat vertex (too
+    # big to force-broadcast at web scale); AQE picks broadcast at
+    # runtime when the map side is actually small
+    tagged = flat_edges.join(pid_map, "src")
     return (
         tagged.repartitionByRange(npart, "pid")
         .sortWithinPartitions("src", "dst")
@@ -457,7 +443,7 @@ def _wedge_count(
         closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
 
     if closure == "broadcast":
-        probe = _build_probe(spark, oriented, key_base, hub_k, deg)
+        probe = _build_probe(spark, oriented, key_base, hub_k)
         counts = flat_parted.mapInPandas(_flat_count_udf(probe), schema="tri long")
         if hub_chunks is not None:
             counts = counts.unionByName(
@@ -592,7 +578,7 @@ def triangle_count(
                 m = stats["m_oriented"] if stats is not None else oriented.count()
                 closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
             if closure == "broadcast":
-                probe = _build_probe(spark, oriented, key_base, hub_k, deg)
+                probe = _build_probe(spark, oriented, key_base, hub_k)
                 mark("build_sec")
                 per_part = paths.mapInPandas(_arrow_count_udf(probe), schema="tri long")
                 result = per_part.agg(
@@ -627,7 +613,7 @@ def triangle_count(
             m = stats["m_oriented"] if stats is not None else oriented.count()
             closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
         if closure == "broadcast":
-            probe = _build_probe(spark, oriented, key_base, 0, deg)
+            probe = _build_probe(spark, oriented, key_base, 0)
             mark("build_sec")
             per_part = rows.mapInPandas(_array_count_udf(probe), schema="tri long")
             result = per_part.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))

@@ -90,6 +90,97 @@ def hub_topk_sql(raw_sql: str | None = None, k: int = 10) -> str:
     )
 
 
+def local_clustering_sql(raw_sql: str | None = None) -> str:
+    """Independent formulation (canonical-edge 3-path join, no
+    orientation pipeline): each triangle (a<b<c) contributes one corner
+    row per vertex; lcc = 2t / (deg (deg-1))."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+),
+deg AS (
+    SELECT v, count(*) AS degree FROM (
+        SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und
+    ) GROUP BY v
+),
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM und e1
+    JOIN und e2 ON e1.dst = e2.src
+    JOIN und e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+corners AS (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT v, count(*) AS t FROM corners GROUP BY v)
+SELECT d.v,
+       CAST(coalesce(t, 0) AS BIGINT) AS tri_count,
+       CASE WHEN d.degree >= 2
+            THEN round(CAST(coalesce(t, 0) AS DOUBLE) * 2 / (d.degree * (d.degree - 1)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN tcnt ON d.v = tcnt.v
+""".strip()
+
+
+def kcore_sql(k: int = 3, rounds: int = 20, raw_sql: str | None = None) -> str:
+    """Unrolled peel: each round recomputes degrees and keeps vertices
+    with degree >= k. `rounds` must be >= the peel's convergence depth
+    (extra rounds are no-ops, so overshooting is safe)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous round 3 times, so default CTE inlining would expand
+    # 3^rounds copies of the base scan
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw WHERE src <> dst "
+        "UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst))",
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS v FROM {prev} GROUP BY src HAVING count(*) >= {k})"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN k{i} a ON e.src = a.v JOIN k{i} b ON e.dst = b.v)"
+        )
+        prev = f"e{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src AS v, count(*) AS core_degree FROM {prev} GROUP BY src"
+    )
+
+
+def simhash_near_pairs_sql(
+    bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> str:
+    """Mirrors simhash_near_pairs: banded candidates over the simhash
+    signature, exact Hamming filter via xor + bit_count."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    base = simhash_sql(bits)  # "WITH tok AS (...) ... SELECT doc_id, (...) AS simhash FROM bits"
+    return f"""
+WITH sig AS ({base}),
+banded AS (
+    SELECT doc_id, simhash, b, (simhash >> (b * {rows})) & {mask} AS band
+    FROM sig, range({bands}) t(b)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                    a.simhash AS sa, c.simhash AS sb
+    FROM banded a JOIN banded c ON a.b = c.b AND a.band = c.band
+                              AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+""".strip()
+
+
 def pagerank_sql(raw_sql: str, num_iters: int, damping: float = 0.85, ndigits: int = 6) -> str:
     """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
     DuckDB's recursive CTEs can't aggregate over the recursive
