@@ -124,6 +124,16 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir))
 
 
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        extract_links,
+        host_graph,
+    )
+
+    return host_graph(extract_links(doc_pages_hosted(spark, sf_dir)))
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -280,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
+        "ingest_host_graph": _q_host_graph,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -327,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),
+        "ingest_host_graph": oracles.host_graph_sql(),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),

@@ -77,3 +77,24 @@ def test_end_to_end_pages_to_triangles(spark):
     join = triangle_count(edges, strategy="join").collect()[0][0]
     assert wedge == join
     assert wedge > 0  # skewed generator produces triangles
+
+
+def test_host_graph_rollup(spark):
+    # page → host contraction: counts per host pair, intra-host kept
+    rows = [
+        ("https://a.example/1", '<a href="https://b.example/x">l</a><a href="https://a.example/2">l</a>'),
+        ("https://b.example/1", '<a href="https://a.example/1">l</a>'),
+        ("https://b.example/2", '<a href="https://a.example/9">l</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in ingest.host_graph(ingest.extract_links(pages)).collect()
+    }
+    assert got == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "a.example"): 1,
+        ("b.example", "a.example"): 2,
+    }

@@ -43,6 +43,57 @@ def doc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HOSTS = 13
+
+
+def doc_pages_hosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like doc_pages but urls are spread over N_HOSTS synthetic hosts
+    (host = doc_id % 13) so host-level rollups are non-trivial."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _url(id_col):
+        return F.concat(
+            F.lit("https://h"),
+            (id_col % N_HOSTS).cast("string"),
+            F.lit(".example/d/"),
+            id_col.cast("string"),
+        )
+
+    anchors = [
+        F.concat(F.lit('<a href="'), _url((F.col("doc_id") * k) % DOC_MODULUS), F.lit('">link</a>'))
+        for k in _KS
+    ]
+    html = F.concat(
+        F.lit("<html><body><nav>"),
+        *anchors,
+        F.lit("</nav><main>"),
+        F.col("text"),
+        F.lit("</main></body></html>"),
+    )
+    return docs.select(
+        _url(F.col("doc_id")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def doc_pages_hosted_sql() -> str:
+    def _url(expr: str) -> str:
+        return (
+            f"'https://h' || CAST(({expr}) % {N_HOSTS} AS VARCHAR) || "
+            f"'.example/d/' || CAST({expr} AS VARCHAR)"
+        )
+
+    anchors = " || ".join(
+        f"'<a href=\"' || {_url(f'(doc_id * {k}) % {DOC_MODULUS}')} || '\">link</a>'"
+        for k in _KS
+    )
+    return f"""
+SELECT {_url('doc_id')} AS url,
+       '<html><body><nav>' || {anchors} || '</nav><main>' || text || '</main></body></html>' AS html
+FROM documents
+""".strip()
+
+
 def doc_pages_sql() -> str:
     """The same table as a DuckDB CTE body (url, html as VARCHAR,
     want_text, lang)."""

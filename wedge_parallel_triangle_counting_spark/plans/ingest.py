@@ -72,3 +72,31 @@ def pages_to_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
     links = extract_links(pages)
     dictionary = url_dictionary(pages, links).persist()
     return links_to_edges(links, dictionary), dictionary
+
+
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def host_of(url_col):
+    """Host component of a url — one JVM regexp, no Python."""
+    return F.regexp_extract(url_col, _HOST_RE, 1)
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Host-level rollup of the page link graph:
+    (src_host, dst_host, n_links) — the classic web-graph contraction
+    (page graph → host graph). Keeps intra-host rows (src_host ==
+    dst_host): their count is the site's internal-link mass.
+
+    Scale shape: host extraction is a codegen'd regexp; the rollup is
+    ONE hash aggregation whose key cardinality is #host-pairs — orders
+    of magnitude below #page-links, so partial (map-side) aggregation
+    absorbs almost all input before the shuffle."""
+    return (
+        links.select(
+            host_of(F.col("src_url")).alias("src_host"),
+            host_of(F.col("dst_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

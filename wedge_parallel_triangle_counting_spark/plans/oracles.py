@@ -349,6 +349,25 @@ def _h64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def host_graph_sql() -> str:
+    """Host-level rollup of the hosted doc-pages link graph — mirrors
+    plans/ingest.host_graph over plans/docpages.doc_pages_hosted."""
+    from .docpages import doc_pages_hosted_sql
+
+    return f"""
+WITH pages AS ({doc_pages_hosted_sql()}),
+links AS (
+    SELECT url AS src_url,
+           unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS dst_url
+    FROM pages
+)
+SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+       regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host,
+       count(*) AS n_links
+FROM links GROUP BY 1, 2
+""".strip()
+
+
 def dedup_exact_sql() -> str:
     return """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
