@@ -64,6 +64,17 @@ def _q_wedge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedge_stats(testdata.derived_edges(spark, sf_dir))
 
 
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    deg = degrees(
+        symmetrize(normalize_edges(testdata.derived_pagerank_edges(spark, sf_dir)))
+    )
+    return degree_histogram(deg)
+
+
 def _q_hub_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -139,6 +150,20 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pr = pagerank(
         testdata.derived_pagerank_edges(spark, sf_dir), num_iters=PAGERANK_ITERS
+    )
+    return pr.select("v", F.round("pr", 6).alias("pr"))
+
+
+PPR_SOURCES = [0, 1, 2, 3, 4]
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pr = pagerank(
+        testdata.derived_pagerank_edges(spark, sf_dir),
+        num_iters=PAGERANK_ITERS,
+        sources=PPR_SOURCES,
     )
     return pr.select("v", F.round("pr", 6).alias("pr"))
 
@@ -276,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_orient": _q_orient,
         "graph_wedge_stats": _q_wedge_stats,
         "graph_hub_topk": _q_hub_topk,
+        "graph_degree_histogram": _q_degree_histogram,
         "triangles_wedge": _q_tri("wedge"),
         "triangles_arrow": _q_tri("arrow"),
         "triangles_vertex": _q_tri("vertex"),
@@ -284,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
         "pagerank": _q_pagerank,
+        "pagerank_personalized": _q_pagerank_personalized,
         "components": _q_components,
         "components_hashmin": _q_components_hashmin,
         "labelprop": _q_labelprop,
@@ -316,6 +343,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_orient": oracles.orient_sql(),
         "graph_wedge_stats": oracles.wedge_stats_sql(),
         "graph_hub_topk": oracles.hub_topk_sql(),
+        "graph_degree_histogram": oracles.degree_histogram_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
         "triangles_wedge": tri,
         "triangles_arrow": tri,
         "triangles_vertex": tri,
@@ -327,6 +357,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
+        ),
+        "pagerank_personalized": oracles.pagerank_sql(
+            testdata.derived_pagerank_edges_sql(),
+            PAGERANK_ITERS,
+            sources=PPR_SOURCES,
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
         "components_hashmin": oracles.components_sql(

@@ -88,6 +88,37 @@ def test_pagerank_resume(spark, tmp_path):
         assert abs(resumed[v] - direct[v]) < 1e-12
 
 
+def test_pagerank_personalized_matches_numpy(spark):
+    pairs = _random_directed(21, 30, 90)
+    srcs = [0, 1, 2]
+    d = 0.85
+    # brute force, mirroring the operator's semantics exactly
+    e = {(a, b) for a, b in pairs}
+    verts = sorted({x for p in e for x in p})
+    out = {v: 0 for v in verts}
+    for a, _ in e:
+        out[a] += 1
+    s = {v: (1.0 / len(srcs) if v in srcs else 0.0) for v in verts}
+    pr = dict(s)
+    for _ in range(5):
+        dangling = sum(pr[v] for v in verts if out[v] == 0)
+        contrib = {v: 0.0 for v in verts}
+        for a, b in e:
+            contrib[b] += pr[a] / out[a]
+        pr = {
+            v: (1 - d) * s[v] + d * (contrib[v] + dangling * s[v]) for v in verts
+        }
+    got = {
+        r.v: r.pr
+        for r in pagerank(edges_df(spark, pairs), num_iters=5, sources=srcs).collect()
+    }
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v] - pr[v]) < 1e-12, v
+    # probability mass conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_components_golden(spark):
     comp = {
         r.v: r.component

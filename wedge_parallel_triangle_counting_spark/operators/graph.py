@@ -261,6 +261,22 @@ def prepare_oriented_fast(
     return oriented, deg_out, n, max_id, stats
 
 
+def degree_histogram(sym_deg: DataFrame) -> DataFrame:
+    """Log2-binned degree histogram → (bucket, n_vertices, min_degree,
+    max_degree), bucket = floor(log2(degree)). The standard power-law
+    diagnostic over a web graph; two-phase agg over the degree table
+    (n rows), output ~64 rows regardless of scale."""
+    b = F.floor(F.log2(F.col("degree"))).cast("long")
+    return (
+        sym_deg.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
 def adjacency(oriented: DataFrame) -> DataFrame:
     """Grouped adjacency layout → (v, adj sorted array, deg)
     (reference CSR build, tc.cu:658-677 + segmented sort tc.cu:763-784).

@@ -53,10 +53,18 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     partition_stats: bool = False,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Returns DataFrame [v: long, pr: double]. Runs `num_iters`
     iterations, or stops earlier when the L1 delta falls below `tol`
-    (if given). Resumable from `checkpoint_dir`."""
+    (if given). Resumable from `checkpoint_dir`.
+
+    `sources` switches to PERSONALIZED PageRank: teleport (and
+    dangling mass) goes to the source set instead of uniformly —
+    s(v) = 1/|S| for v ∈ S else 0, r_0 = s,
+    r_{k+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} r_k(u)/out(u) + dangling_k·s(v)).
+    The source list is a query parameter (small), carried as a column
+    in the iteration state — no per-iteration driver work."""
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
     e, outdeg = _prepare(edges)
@@ -83,10 +91,18 @@ def pagerank(
         got = loop.resume()
         if got is not None:
             ranks, start = got
+    if sources is not None:
+        srcs = [int(x) for x in sources]
+        s_col = F.when(F.col("v").isin(srcs), F.lit(1.0 / len(srcs))).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        s_col = None
     if ranks is None:
         # state carries outdeg so the iteration needs no ranks⋈outdeg
         # join — one fewer shuffle per iteration
-        ranks = outdeg.select("v", "outdeg", F.lit(1.0 / n).alias("pr"))
+        init = s_col if s_col is not None else F.lit(1.0 / n)
+        ranks = outdeg.select("v", "outdeg", init.alias("pr"))
 
     base = (1.0 - damping) / n
     for it in range(start, num_iters):
@@ -101,21 +117,19 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("contrib"))
         )
+        if s_col is None:
+            pr_expr = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dangling") / n
+            )
+        else:
+            pr_expr = F.lit(1.0 - damping) * s_col + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("dangling") * s_col
+            )
         new_ranks = (
             outdeg.join(contribs, "v", "left")
             .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "v",
-                "outdeg",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dangling") / n
-                    )
-                ).alias("pr"),
-            )
+            .select("v", "outdeg", pr_expr.alias("pr"))
         )
         # materialize (localCheckpoint) FIRST; the optional delta check
         # then reads the checkpointed state instead of re-running the plan

@@ -82,6 +82,20 @@ SELECT
     )
 
 
+def degree_histogram_sql(raw_sql: str | None = None) -> str:
+    raw_sql = raw_sql or derived_edges_sql()
+    return (
+        _graph_cte(raw_sql)
+        + """
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS bucket,
+       count(*) AS n_vertices,
+       min(degree) AS min_degree,
+       max(degree) AS max_degree
+FROM deg GROUP BY 1
+"""
+    )
+
+
 def hub_topk_sql(raw_sql: str | None = None, k: int = 10) -> str:
     raw_sql = raw_sql or derived_edges_sql()
     return (
@@ -181,14 +195,39 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """.strip()
 
 
-def pagerank_sql(raw_sql: str, num_iters: int, damping: float = 0.85, ndigits: int = 6) -> str:
+def pagerank_sql(
+    raw_sql: str,
+    num_iters: int,
+    damping: float = 0.85,
+    ndigits: int = 6,
+    sources: list[int] | None = None,
+) -> str:
     """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
     DuckDB's recursive CTEs can't aggregate over the recursive
     relation, so the power iteration is generated iteration by
-    iteration. Semantics identical to operators/pagerank.py.
+    iteration. Semantics identical to operators/pagerank.py,
+    including the personalized variant when `sources` is given
+    (teleport + dangling mass to the source set).
     Output rounded to `ndigits` so Spark/DuckDB float noise doesn't
     break the driver's exact value-hash."""
     d = damping
+    if sources is not None:
+        srcs = ", ".join(str(int(x)) for x in sources)
+        w = repr(1.0 / len(sources))
+        s_of = lambda v: (  # noqa: E731
+            f"(CASE WHEN {v} IN ({srcs}) THEN CAST({w} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        )
+        r0 = f"r0 AS (SELECT v, {s_of('v')} AS pr FROM vs)"
+        step = (
+            f"(1.0 - {d}) * {s_of('od.v')}"
+            f" + {d} * (coalesce(c.contrib, 0.0) + dang.dangling * {s_of('od.v')}) AS pr"
+        )
+    else:
+        r0 = "r0 AS (SELECT v, 1.0 / nn.n AS pr FROM vs CROSS JOIN nn)"
+        step = (
+            f"(1.0 - {d}) / nn.n"
+            f" + {d} * (coalesce(c.contrib, 0.0) + dang.dangling / nn.n) AS pr"
+        )
     ctes = [
         f"raw AS ({raw_sql})",
         "e AS (SELECT DISTINCT src, dst FROM raw)",
@@ -200,15 +239,14 @@ def pagerank_sql(raw_sql: str, num_iters: int, damping: float = 0.85, ndigits: i
                 SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src
             ) o ON o.v = vs.v
         )""",
-        "r0 AS (SELECT v, 1.0 / nn.n AS pr FROM vs CROSS JOIN nn)",
+        r0,
     ]
     for i in range(1, num_iters + 1):
         prev = f"r{i - 1}"
         ctes.append(
             f"""r{i} AS (
             SELECT od.v AS v,
-                   (1.0 - {d}) / nn.n
-                   + {d} * (coalesce(c.contrib, 0.0) + dang.dangling / nn.n) AS pr
+                   {step}
             FROM od
             CROSS JOIN nn
             CROSS JOIN (
