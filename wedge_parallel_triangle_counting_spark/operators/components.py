@@ -97,6 +97,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if loop.history:  # state is localCheckpointed — sym no longer needed
+        sym.unpersist()
     return labels.select("v", "component")
 
 
@@ -113,13 +115,21 @@ def _components_star(
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
 
-    # undirected pair set, canonical (large, small) per row
+    # undirected pair set, canonical (large, small) per row — built
+    # DIRECTLY as a canonical dedup (one m-row shuffle; symmetrize+
+    # filter would shuffle 2m) and persisted: round 1 reads it three
+    # times (count, both union branches)
+    clean = normalize_edges(edges).filter(F.col("src") != F.col("dst"))
     e = (
-        symmetrize(normalize_edges(edges))
-        .filter(F.col("src") > F.col("dst"))  # one canonical row per edge
+        clean.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
         .repartition(npart, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
     )
-    fp = {"canonical_edges": e.count()} if checkpoint_dir else None
+    prev_cnt = e.count()
+    fp = {"canonical_edges": prev_cnt} if checkpoint_dir else None
     loop = CheckpointedLoop(
         spark, "components_star", checkpoint_dir, checkpoint_every, fingerprint=fp
     )
@@ -129,7 +139,7 @@ def _components_star(
         got = loop.resume()
         if got is not None:
             cur, start = got
-    prev_cnt = cur.count()
+            prev_cnt = cur.count()
 
     for it in range(start, max_iters):
         # large-star: for each u, connect all strictly-larger neighbors
@@ -187,10 +197,17 @@ def _components_star(
         if converged:
             break
 
-    # parent table: every vertex points to its component min
+    # parent table: every vertex points to its component min (vertex
+    # set from the persisted canonical edges — materialized via
+    # localCheckpoint so `e` can be released before returning the
+    # still-lazy result)
     verts = (
-        symmetrize(normalize_edges(edges)).select(F.col("src").alias("v")).distinct()
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
     parents = cur.select(F.col("src").alias("v"), F.col("dst").alias("component"))
     return (
         verts.join(parents, "v", "left")
