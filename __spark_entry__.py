@@ -295,6 +295,26 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_streaming_triangles(spark, sf_dir):
+    # real Structured Streaming execution (availableNow replay of the
+    # events file through foreachBatch incremental maintenance); the
+    # oracle is the plain batch triangle count over the same edges
+    import shutil
+    import tempfile
+
+    from wedge_parallel_triangle_counting_spark.streaming.triangles import (
+        run_streaming_triangle_count,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_tri_")
+    src_dir = f"{tmp}/events"
+    import os
+
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    return run_streaming_triangle_count(spark, src_dir, f"{tmp}/ckpt")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -333,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_frame_sample,
         "events_windowed": _q_events_windowed,
+        "streaming_triangles": _q_streaming_triangles,
     }
 
 
@@ -389,4 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": oracles.media_stats_sql(),
         "media_frame_sample": oracles.frame_sample_sql(),
         "events_windowed": oracles.events_windowed_sql(),
+        "streaming_triangles": oracles.triangles_sql(
+            "SELECT user_id % 301 AS src, event_id % 301 AS dst FROM events"
+        ),
     }

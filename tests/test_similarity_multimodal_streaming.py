@@ -177,3 +177,44 @@ def test_streaming_update_mode_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == want
+
+
+def test_streaming_triangles_incremental_matches_batch(spark, tmp_path):
+    # force MULTI-batch replay (1 file per trigger) and check the
+    # incrementally maintained count equals the batch count over the
+    # full edge set — the delta algorithm never recounts old triangles
+    import pandas as pd
+
+    from wedge_parallel_triangle_counting_spark.operators.triangles import (
+        triangle_count,
+    )
+    from wedge_parallel_triangle_counting_spark.streaming.triangles import (
+        event_edges,
+        run_streaming_triangle_count,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    pdf = events.toPandas().sort_values("event_id")
+    d = tmp_path / "ev"
+    d.mkdir()
+    n = len(pdf)
+    for i, lo in enumerate(range(0, n, (n + 3) // 4)):
+        chunk = pdf.iloc[lo : lo + (n + 3) // 4]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(d / f"chunk{i}")
+        )
+    # flatten: file source wants files in one dir
+    import glob
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(d / "chunk*" / "part-*.parquet")))):
+        shutil.copy(f, src / f"part-{i:03d}.parquet")
+
+    got = run_streaming_triangle_count(
+        spark, str(src), str(tmp_path / "ck"), max_files_per_trigger=1
+    ).collect()[0][0]
+    want = triangle_count(event_edges(events)).collect()[0][0]
+    assert got == want
+    assert want > 0
