@@ -94,3 +94,27 @@ def test_degree_distribution_report(spark):
     assert rep["n"] == 4
     assert rep["max_degree"] == 3
     assert rep["total_wedges"] == 4 * 3  # 4 vertices, C(3,2)=3 wedges each
+
+
+def test_write_result_and_metrics(spark, tmp_path):
+    # S4 sink contract: result rows land in the chosen format; the
+    # metrics sink appends one JSON line per run
+    import json
+
+    from wedge_parallel_triangle_counting_spark.sources.sinks import (
+        write_result,
+        write_run_metrics,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = tmp_path / "res"
+    write_result(df, str(out), fmt="parquet")
+    back = spark.read.parquet(str(out))
+    assert sorted((r.id, r.s) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    mpath = tmp_path / "metrics.jsonl"
+    write_run_metrics(str(mpath), graph="g", triangles=7)
+    write_run_metrics(str(mpath), graph="g", triangles=8)
+    lines = [json.loads(x) for x in mpath.read_text().splitlines()]
+    assert [x["triangles"] for x in lines] == [7, 8]
+    assert all("ts" in x for x in lines)
