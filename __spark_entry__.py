@@ -108,6 +108,14 @@ def _q_ingest_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _q_triangles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_sampled,
+    )
+
+    return triangle_count_sampled(testdata.derived_edges(spark, sf_dir))
+
+
 def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.clustering import (
         local_triangle_counts,
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_vertex": _q_tri("vertex"),
         "triangles_edge": _q_tri("edge"),
         "triangles_join": _q_tri("join"),
+        "triangles_sampled": _q_triangles_sampled,
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
         "pagerank": _q_pagerank,
@@ -372,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_vertex": tri,
         "triangles_edge": tri,
         "triangles_join": tri,
+        "triangles_sampled": oracles.triangles_sampled_sql(),
         "graph_local_clustering": oracles.local_clustering_sql(),
         "graph_kcore": oracles.kcore_sql(
             k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()

@@ -135,3 +135,39 @@ def test_wedge_stats_k3(spark):
     # oriented K3: out-degrees 2,1,0 -> wedges 1
     assert row.total_wedges == 1
     assert row.max_degree == 2
+
+
+def test_sampled_exact_when_k_covers_all_wedges(spark):
+    # sampled == W => the estimator degenerates to the exact count
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_sampled,
+    )
+
+    pairs = _random_graph(31, 25, 120)
+    exact = _brute_triangles(pairs)
+    row = triangle_count_sampled(edges_df(spark, pairs), k=100000).collect()[0]
+    assert row.sampled == row.total_wedges
+    assert row.closed == exact  # every wedge probed, one closure per triangle
+    assert row.estimate == exact
+
+
+def test_sampled_estimate_within_tolerance(spark):
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_sampled,
+    )
+
+    pairs = _random_graph(37, 50, 900)  # dense: stable closure rate
+    exact = _brute_triangles(pairs)
+    row = triangle_count_sampled(edges_df(spark, pairs), k=256).collect()[0]
+    assert row.sampled == 256
+    # quantile sampling of a dense random graph: generous 50% band
+    assert abs(row.estimate - exact) <= max(10, exact * 0.5)
+
+
+def test_sampled_empty_graph(spark):
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_sampled,
+    )
+
+    row = triangle_count_sampled(edges_df(spark, [(1, 2)])).collect()[0]
+    assert (row.estimate, row.closed, row.sampled, row.total_wedges) == (0, 0, 0, 0)

@@ -104,6 +104,46 @@ def hub_topk_sql(raw_sql: str | None = None, k: int = 10) -> str:
     )
 
 
+def triangles_sampled_sql(k: int = 256, raw_sql: str | None = None) -> str:
+    """Mirrors operators/approx.triangle_count_sampled exactly: the
+    sampled wedge ids are floor(t·W/k), the wedge order is (v, x, y)
+    over the degree-oriented adjacency, closure against the canonical
+    undirected edge set, floor-integer estimate arithmetic."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+dg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+oriented AS MATERIALIZED (
+    SELECT s.src, s.dst
+    FROM sym s JOIN dg a ON s.src = a.v JOIN dg b ON s.dst = b.v
+    WHERE (a.d < b.d) OR (a.d = b.d AND s.src < s.dst)
+),
+pairs AS MATERIALIZED (
+    SELECT e1.src AS v, e1.dst AS x, e2.dst AS y
+    FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src AND e1.dst < e2.dst
+),
+wtot AS (SELECT count(*) AS w FROM pairs),
+idx AS (SELECT DISTINCT (t.t * wtot.w) // {k} AS widx FROM range({k}) t(t), wtot),
+ranked AS (SELECT v, x, y, row_number() OVER (ORDER BY v, x, y) - 1 AS widx FROM pairs),
+samp AS MATERIALIZED (SELECT r.v, r.x, r.y FROM ranked r JOIN idx USING (widx)),
+und AS (SELECT least(src, dst) AS x, greatest(src, dst) AS y FROM oriented),
+closedc AS (
+    SELECT count(*) AS closed FROM samp
+    JOIN und ON samp.x = und.x AND samp.y = und.y
+),
+sampc AS (SELECT count(*) AS sampled FROM samp)
+SELECT CASE WHEN sampled > 0 THEN (closed * w) // sampled ELSE 0 END AS estimate,
+       closed, sampled, w AS total_wedges
+FROM closedc, sampc, wtot
+""".strip()
+
+
 def local_clustering_sql(raw_sql: str | None = None) -> str:
     """Independent formulation (canonical-edge 3-path join, no
     orientation pipeline): each triangle (a<b<c) contributes one corner
