@@ -86,12 +86,14 @@ class CheckpointedLoop:
         return df, manifest["iteration"] + 1
 
     # -- per-iteration hook ------------------------------------------------
-    def step(self, df: DataFrame, iteration: int, **extra) -> DataFrame:
+    def step(self, df: DataFrame, iteration: int, eager: bool = True, **extra) -> DataFrame:
         """Truncate lineage; snapshot durably on cadence; record metrics.
 
         Returns the (possibly re-read) state DataFrame to carry forward.
-        """
-        df = df.localCheckpoint(eager=True)
+        `eager=False` defers checkpoint materialization to the caller's
+        next action (e.g. a convergence count) — one job per round
+        instead of two when the caller counts immediately after."""
+        df = df.localCheckpoint(eager=eager)
         if self.collect_partition_stats:
             pstats = (
                 df.groupBy(F.spark_partition_id().alias("pid")).count().collect()

@@ -184,8 +184,8 @@ def _components_star(
         # anti-join ⇒ equality — one cheap count on the checkpointed
         # frame per round, and the anti-join only on count ties
         # (replaces two shuffling exceptAll jobs per round).
-        new_cur = loop.step(new_cur, it)
-        new_cnt = new_cur.count()
+        new_cur = loop.step(new_cur, it, eager=False)
+        new_cnt = new_cur.count()  # materializes the lazy checkpoint
         converged = False
         if new_cnt == prev_cnt:
             converged = (

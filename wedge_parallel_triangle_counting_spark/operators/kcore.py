@@ -47,8 +47,8 @@ def k_core(
             .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        new_cur = loop.step(new_cur, it)
-        m = new_cur.count()
+        new_cur = loop.step(new_cur, it, eager=False)
+        m = new_cur.count()  # materializes the lazy checkpoint
         loop.history[-1]["extra"]["edges"] = m
         cur = new_cur
         if m == prev_m:
