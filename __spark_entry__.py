@@ -225,6 +225,22 @@ def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # end-to-end dedup pipeline: docs → shingles → MinHash bands →
+    # candidate pair graph → connected components = duplicate clusters
+    # (component id = smallest doc_id, i.e. the canonical keeper)
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(_docs(spark, sf_dir)).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs)
+
+
 def _q_token_count(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import token_count
 
@@ -352,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -410,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_simhash_near_pairs": oracles.simhash_near_pairs_sql(),
+        "dedup_clusters": oracles.components_sql(
+            f"SELECT doc_a AS src, doc_b AS dst FROM ({oracles.minhash_lsh_sql()})"
+        ),
         "text_token_count": oracles.token_count_sql(),
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_score_sql(),
