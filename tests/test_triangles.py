@@ -171,3 +171,16 @@ def test_sampled_empty_graph(spark):
 
     row = triangle_count_sampled(edges_df(spark, [(1, 2)])).collect()[0]
     assert (row.estimate, row.closed, row.sampled, row.total_wedges) == (0, 0, 0, 0)
+
+
+def test_hub_routing_never_collects_id_lists():
+    # VERDICT r1 item 2: hub-lane routing must be a join, never a
+    # driver-side id list — no collect_list / isin-literal routing in
+    # the triangles module source
+    import inspect
+
+    import wedge_parallel_triangle_counting_spark.operators.triangles as T
+
+    src = inspect.getsource(T)
+    assert "F.collect_list" not in src  # docstring mentions are fine
+    assert ".isin(" not in src
