@@ -336,7 +336,12 @@ def _q_streaming_triangles(spark, sf_dir):
 
     os.makedirs(src_dir)
     shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
-    return run_streaming_triangle_count(spark, src_dir, f"{tmp}/ckpt")
+    try:
+        # the returned frame is already materialized (eager count), so
+        # the replay dir can be removed immediately
+        return run_streaming_triangle_count(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
