@@ -425,6 +425,14 @@ def _wedge_count(
             npart, "v", "i_lo"
         )
 
+    if partitioner == "auto":
+        # skew-aware choice: a graph whose max degree reaches the hub
+        # threshold is in the power-law regime where hash-by-src also
+        # misplaces MID-degree vertices — the wedge-balanced range
+        # partition measured 1.8x faster there (COVERAGE.md §2.11);
+        # otherwise keep the zero-exchange hash clustering from prep
+        partitioner = "wedge_range" if maybe_hubs else "hash"
+
     if partitioner == "wedge_range":
         flat_odeg = (
             odeg.filter(F.col("deg") < hub_min_deg) if maybe_hubs else odeg
@@ -511,7 +519,7 @@ def triangle_count(
     hub_k: int = 8192,
     split_budget: int = 1 << 18,
     partitions: int | None = None,
-    partitioner: str = "hash",
+    partitioner: str = "auto",
     prep: str = "auto",
     phase_metrics: dict | None = None,
 ) -> DataFrame:
