@@ -129,6 +129,14 @@ KCORE_K = 45  # on the sf0.01 iter graph this peels some-but-not-all
 # modulus-derived fixtures)
 
 
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        common_neighbor_pairs,
+    )
+
+    return common_neighbor_pairs(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
 
@@ -359,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
+        "graph_link_prediction": _q_link_prediction,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
         "components": _q_components,
@@ -407,6 +416,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_local_clustering": oracles.local_clustering_sql(),
         "graph_kcore": oracles.kcore_sql(
             k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_link_prediction": oracles.common_neighbor_pairs_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS

@@ -126,3 +126,27 @@ def test_simhash_near_pairs_rejects_bad_params(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         simhash_near_pairs(df, max_hamming=5, bands=4)
+
+
+def test_link_prediction_common_neighbors(spark):
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        common_neighbor_pairs,
+    )
+
+    pairs = _random_graph(41, 30, 120)
+    adj = _adj(_und(pairs))
+    scores = {}
+    verts = sorted(adj)
+    for i, x in enumerate(verts):
+        for y in verts[i + 1 :]:
+            if y in adj[x]:
+                continue  # adjacent pairs excluded
+            cn = len(adj[x] & adj[y])
+            if cn > 0:
+                scores[(x, y)] = cn
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        ((r.id_a, r.id_b), r.cn)
+        for r in common_neighbor_pairs(edges_df(spark, pairs), k=10).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want

@@ -104,6 +104,31 @@ def hub_topk_sql(raw_sql: str | None = None, k: int = 10) -> str:
     )
 
 
+def common_neighbor_pairs_sql(k: int = 50, raw_sql: str | None = None) -> str:
+    """Top-k common-neighbor scores among non-adjacent pairs, ties
+    broken by ids — mirrors operators/linkpred.common_neighbor_pairs."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+wp AS (
+    SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS cn
+    FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY 1, 2
+)
+SELECT wp.id_a, wp.id_b, wp.cn
+FROM wp LEFT JOIN sym e ON wp.id_a = e.src AND wp.id_b = e.dst
+WHERE e.src IS NULL
+ORDER BY wp.cn DESC, wp.id_a, wp.id_b
+LIMIT {k}
+""".strip()
+
+
 def triangles_sampled_sql(k: int = 256, raw_sql: str | None = None) -> str:
     """Mirrors operators/approx.triangle_count_sampled exactly: the
     sampled wedge ids are floor(t·W/k), the wedge order is (v, x, y)
