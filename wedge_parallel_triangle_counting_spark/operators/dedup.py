@@ -123,26 +123,29 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH:
     (doc_a, doc_b) distinct pairs agreeing on at least one of 4 bands
-    (band signature = md5 of its 4 concatenated minhashes)."""
-    sig = minhash_signatures(docs, n=n).persist()
-    pair_frames = []
+    (band signature = md5 of its 4 concatenated minhashes).
+
+    The bands are posexploded into rows and matched with ONE
+    (band_idx, band_sig) self-join — one shuffle instead of 4 unioned
+    joins, and no persisted signature frame left behind."""
+    sig = minhash_signatures(docs, n=n)
+    band_exprs = []
     for b in range(BANDS):
         cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band = sig.select(
-            "doc_id",
-            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias(
-                "band_sig"
-            ),
+        band_exprs.append(
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
         )
-        x = band.select(F.col("doc_id").alias("doc_a"), "band_sig")
-        y = band.select(F.col("doc_id").alias("doc_b"), "band_sig")
-        pair_frames.append(
-            x.join(y, "band_sig").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_sig")
+    )
+    x = banded.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_sig")
+    y = banded.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_sig")
+    return (
+        x.join(y, ["band_idx", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 SIMHASH_BANDS = 4
@@ -167,30 +170,32 @@ def simhash_near_pairs(
         )
     rows = bits // bands
     mask = (1 << rows) - 1
-    sig = simhash(docs, bits=bits).persist()
-    frames = []
-    for b in range(bands):
-        band = sig.select(
-            "doc_id",
-            "simhash",
-            F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask)).alias("band"),
-        )
-        x = band.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band")
-        y = band.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band")
-        frames.append(
-            x.join(y, "band")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b", "sa", "sb")
-        )
-    cand = frames[0]
-    for fdf in frames[1:]:
-        cand = cand.unionByName(fdf)
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        cand.distinct()
-        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    sig = simhash(docs, bits=bits)
+    band_exprs = [
+        F.shiftright(F.col("simhash"), b * rows).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*band_exprs)).alias("band_idx", "band"),
     )
+    x = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "band_idx", "band"
+    )
+    y = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"), "band_idx", "band"
+    )
+    cand = (
+        x.join(y, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -203,22 +203,24 @@ def random_plane_lsh_candidates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Candidate pairs agreeing on at least one signature band
-    (banded random-hyperplane LSH). Returns distinct (id_a, id_b)."""
-    sig = random_plane_signatures(emb, nbits, id_col, vec_col).persist()
+    (banded random-hyperplane LSH). Returns distinct (id_a, id_b).
+    Bands are posexploded and matched with ONE (band_idx, band)
+    self-join — one shuffle, nothing persisted."""
+    sig = random_plane_signatures(emb, nbits, id_col, vec_col)
     rows = nbits // bands
     mask = (1 << rows) - 1
-    frames = []
-    for b in range(bands):
-        band = sig.select(
-            "vec_id",
-            F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).alias("band"),
-        )
-        x = band.select(F.col("vec_id").alias("id_a"), "band")
-        y = band.select(F.col("vec_id").alias("id_b"), "band")
-        frames.append(
-            x.join(y, "band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out.distinct()
+    band_exprs = [
+        F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "vec_id", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band")
+    )
+    x = banded.select(F.col("vec_id").alias("id_a"), "band_idx", "band")
+    y = banded.select(F.col("vec_id").alias("id_b"), "band_idx", "band")
+    return (
+        x.join(y, ["band_idx", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
