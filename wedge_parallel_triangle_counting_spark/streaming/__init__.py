@@ -1,4 +1,5 @@
 """Structured-Streaming surface. The reference is strictly batch
-(SURVEY §2.9); this package exists for the engine's event-ingest side:
-a windowed aggregation defined once and runnable both as a batch query
-and as an incremental stream (availableNow) with watermarked state."""
+(SURVEY §2.9); this package holds the engine's incremental side: the
+windowed event aggregation (batch/stream twins, watermarked state) and
+the incremental exact triangle count (per-micro-batch delta
+maintenance over the edge stream)."""
