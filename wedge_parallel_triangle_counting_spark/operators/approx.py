@@ -13,6 +13,12 @@ adjacency — exactly the reference's A3 global wedge cumsum order, and
 the id→(vertex, i, j) decode is the reference's F1 triangular decode
 (tc.cu:194-244) done in exact integer arithmetic.
 
+Accuracy is the standard wedge-sampling tradeoff: the closed-wedge
+fraction p = T/W is what's estimated, so K must be Ω(W/T) before the
+expected closed-sample count is ≥1 — on very sparse graphs (tiny p)
+a small K correctly returns 0 with high probability; scale K to the
+relative error you need (stderr ≈ sqrt(p/K)·W).
+
 Scale shape: W and the per-vertex cumulative wedge offsets come from
 the two-pass weighted cumsum (ids.attach_cumulative_weight) — no
 global sort bottleneck; locating the K ids is a per-partition
