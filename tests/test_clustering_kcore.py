@@ -150,3 +150,81 @@ def test_link_prediction_common_neighbors(spark):
         for r in common_neighbor_pairs(edges_df(spark, pairs), k=10).collect()
     ]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def _cn_brute(pairs, k, max_degree=None):
+    adj = _adj(_und(pairs))
+    if max_degree is not None:
+        centers = {z for z, ns in adj.items() if len(ns) <= max_degree}
+    else:
+        centers = set(adj)
+    scores = {}
+    for z in centers:
+        ns = sorted(adj[z])
+        for i, x in enumerate(ns):
+            for y in ns[i + 1 :]:
+                if y not in adj[x]:  # adjacent pairs excluded
+                    scores[(x, y)] = scores.get((x, y), 0) + 1
+    # note: x-y adjacency is checked against the FULL adjacency even
+    # when max_degree caps which centers count — matching the operator
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_link_prediction_max_degree_excludes_hub_centers(spark):
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        common_neighbor_pairs,
+        wedge_candidates,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        normalize_edges,
+        symmetrize,
+    )
+
+    # Zipf-ish fixture with one explicit mega-hub (vertex 0 touches all)
+    rng = random.Random(77)
+    n = 120
+    pairs = [(0, v) for v in range(1, n)]
+    for _ in range(300):
+        a = 1 + int((rng.random() ** 2) * (n - 1))
+        b = 1 + rng.randrange(n - 1)
+        pairs.append((a, b))
+    cap = 40
+    adj = _adj(_und(pairs))
+    assert len(adj[0]) > cap  # the hub really exceeds the cap
+
+    want = _cn_brute(pairs, k=15, max_degree=cap)
+    got = [
+        ((r.id_a, r.id_b), r.cn)
+        for r in common_neighbor_pairs(
+            edges_df(spark, pairs), k=15, max_degree=cap
+        ).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+    # candidate relation is bounded: capped <= sum_{deg<=cap} d(d-1)/2,
+    # strictly fewer rows than the uncapped relation that the hub inflates
+    sym = symmetrize(normalize_edges(edges_df(spark, pairs)))
+    capped = wedge_candidates(sym, max_degree=cap).count()
+    uncapped = wedge_candidates(sym).count()
+    bound = sum(
+        len(ns) * (len(ns) - 1) // 2 for ns in adj.values() if len(ns) <= cap
+    )
+    assert capped <= bound
+    assert capped < uncapped
+
+
+def test_link_prediction_hub_salting_is_exact(spark):
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        common_neighbor_pairs,
+    )
+
+    pairs = _random_graph(43, 30, 150)
+    want = _cn_brute(pairs, k=10)
+    # force the salted hub lane on for essentially every center
+    got = [
+        ((r.id_a, r.id_b), r.cn)
+        for r in common_neighbor_pairs(
+            edges_df(spark, pairs), k=10, hub_min_deg=2, hub_splits=5
+        ).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want

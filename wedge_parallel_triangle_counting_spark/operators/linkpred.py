@@ -9,11 +9,22 @@ pure function of the graph.
 Note the orientation trick does NOT apply here: a triangle has exactly
 one all-outgoing vertex under degree orientation, but an OPEN wedge's
 center may point inward — so enumeration must use the symmetric
-adjacency. Cost is Σ deg² (the true size of the wedge relation);
-the groupBy collapses it map-side, and at web scale the same hub
-splitting as the triangle path bounds the per-task explosion (here the
-quadratic hub cost is inherent to the metric itself — cap it upstream
-with a degree ceiling when hubs' predictions aren't wanted).
+adjacency. Cost is Σ deg² (the true size of the wedge relation), which
+is quadratic in a single hub's degree. Two defenses, mirroring the
+reference's hub handling (tc.cu:329-346 hub bitmap, tc.cu:348-361
+wedge balancing):
+
+* ``max_degree`` — exclude vertices above the cap from acting as
+  wedge CENTERS (a broadcast anti-join on the degree table before the
+  self-join). This changes semantics to "common non-hub neighbors",
+  the standard web-graph approximation: a portal page linked by
+  millions of pages asserts almost nothing about any pair of them.
+  ``None`` (default) keeps the exact metric.
+* selective salting — centers still above ``hub_min_deg`` after the
+  cap get their wedge pairs spread over ``hub_splits`` join tasks
+  (one side salted by hash(neighbor), the other exploded across all
+  salts for hub keys only), so a degree-d hub costs d²/splits per
+  task instead of d² in one. Non-hub keys pay nothing (constant salt).
 """
 
 from __future__ import annotations
@@ -24,29 +35,92 @@ from pyspark.sql import functions as F
 from .graph import normalize_edges, symmetrize
 
 
-def common_neighbor_pairs(edges: DataFrame, k: int = 50) -> DataFrame:
+def wedge_candidates(
+    sym: DataFrame,
+    max_degree: int | None = None,
+    hub_min_deg: int = 4096,
+    hub_splits: int = 32,
+) -> DataFrame:
+    """Lazy DataFrame [id_a, id_b, cn] of common-neighbor counts for
+    every pair (id_a < id_b) sharing >=1 (eligible) center, INCLUDING
+    already-adjacent pairs. ``sym`` must be the symmetric, dedup'd,
+    self-loop-free edge list.
+
+    Exposed separately so tests can assert the candidate relation is
+    bounded when a hub is present.
+    """
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if max_degree is not None:
+        # Hubs above the cap are few by definition — broadcast the
+        # exclusion set rather than semi-joining the (huge) keep set.
+        over = deg.filter(F.col("deg") > max_degree).select("src")
+        centers = sym.join(F.broadcast(over), "src", "left_anti")
+        deg = deg.filter(F.col("deg") <= max_degree)
+    else:
+        centers = sym
+
+    # Tag hub centers (small set: at most 2m/hub_min_deg vertices).
+    hubs = deg.filter(F.col("deg") >= hub_min_deg).select(
+        "src", F.lit(True).alias("is_hub")
+    )
+    tagged = centers.join(F.broadcast(hubs), "src", "left")
+    z, salt = F.col("src").alias("z"), F.col("salt")
+    s1 = tagged.select(
+        z,
+        F.col("dst").alias("id_a"),
+        F.when(
+            F.col("is_hub"), F.pmod(F.xxhash64("dst"), F.lit(hub_splits))
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    s2 = tagged.select(
+        z,
+        F.col("dst").alias("id_b"),
+        F.explode(
+            F.when(
+                F.col("is_hub"),
+                F.sequence(F.lit(0), F.lit(hub_splits - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ).alias("salt"),
+    )
+    # Each unordered pair meets exactly once: id_a carries one salt,
+    # id_b is replicated across every salt, so (a, b) joins at salt(a).
+    return (
+        s1.join(s2, ["z", "salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    k: int = 50,
+    max_degree: int | None = None,
+    hub_min_deg: int = 4096,
+    hub_splits: int = 32,
+) -> DataFrame:
     """Eager DataFrame [id_a, id_b, cn]: the k highest common-neighbor
     counts among NON-adjacent vertex pairs, ties broken by (id_a,
-    id_b) ascending."""
+    id_b) ascending. ``max_degree`` excludes higher-degree vertices
+    from acting as wedge centers (see module docstring)."""
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
     sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
-    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("id_a"))
-    s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("id_b"))
-    wedge_pairs = (
-        s1.join(s2, "z")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("cn"))
-    )
-    existing = sym.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
-    )
-    top = (
-        wedge_pairs.join(existing, ["id_a", "id_b"], "left_anti")
-        .orderBy(F.desc("cn"), F.asc("id_a"), F.asc("id_b"))
-        .limit(k)
-    )
-    rows = [(int(r.id_a), int(r.id_b), int(r.cn)) for r in top.collect()]
-    sym.unpersist()
+    try:
+        pairs = wedge_candidates(
+            sym, max_degree=max_degree, hub_min_deg=hub_min_deg, hub_splits=hub_splits
+        )
+        existing = sym.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        top = (
+            pairs.join(existing, ["id_a", "id_b"], "left_anti")
+            .orderBy(F.desc("cn"), F.asc("id_a"), F.asc("id_b"))
+            .limit(k)
+        )
+        rows = [(int(r.id_a), int(r.id_b), int(r.cn)) for r in top.collect()]
+    finally:
+        sym.unpersist()
     return spark.createDataFrame(rows, "id_a long, id_b long, cn long")
