@@ -185,13 +185,20 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # default strategy is "star" (doubly-logarithmic rounds)
+    # default strategy is "auto": canonical-edge count picks hashmin
+    # (small graphs, fewer shuffles/round) vs star (doubly-log rounds)
     return connected_components(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
 def _q_components_hashmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         testdata.derived_pagerank_edges(spark, sf_dir), strategy="hashmin"
+    )
+
+
+def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(
+        testdata.derived_pagerank_edges(spark, sf_dir), strategy="star"
     )
 
 
@@ -372,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized": _q_pagerank_personalized,
         "components": _q_components,
         "components_hashmin": _q_components_hashmin,
+        "components_star": _q_components_star,
         "labelprop": _q_labelprop,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
@@ -430,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
         "components_hashmin": oracles.components_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
+        "components_star": oracles.components_sql(
             testdata.derived_pagerank_edges_sql()
         ),
         "labelprop": oracles.labelprop_sql(

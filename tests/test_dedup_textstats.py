@@ -123,3 +123,21 @@ def test_fingerprint_ignores_formatting(spark):
     fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
     assert fp[0] == fp[1]
     assert fp[0] != fp[2]
+
+
+def test_ngram_jaccard_no_cached_blocks_leak(spark):
+    # ADVICE round 2: the shingle frame must not leave a persisted
+    # block behind; persistence is opt-in via a caches list the caller
+    # releases (assert the DELTA — other fixtures may hold persists)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    ngram_jaccard_pairs(docs_df(spark), threshold=0.3).collect()
+    assert jsc.getPersistentRDDs().size() == before
+    # the opt-in path persists, hands the frame to the caller, and the
+    # caller's unpersist restores the baseline
+    caches = []
+    got = ngram_jaccard_pairs(docs_df(spark), threshold=0.3, caches=caches).collect()
+    assert caches and got  # persisted path produced the same non-empty result
+    for c in caches:
+        c.unpersist()
+    assert jsc.getPersistentRDDs().size() == before

@@ -208,3 +208,43 @@ def test_labelprop_deterministic_across_runs(spark):
     a = {r.v: r.label for r in label_propagation(df, 3).collect()}
     b = {r.v: r.label for r in label_propagation(df, 3).collect()}
     assert a == b
+
+
+def test_components_auto_choice_and_metrics(spark):
+    # auto picks hashmin under the edge threshold, records the choice,
+    # and produces the same labels as both explicit strategies
+    pairs = _random_directed(13, 40, 80)
+    df = edges_df(spark, pairs)
+    metrics: dict = {}
+    auto = {
+        r.v: r.component
+        for r in connected_components(df, metrics=metrics).collect()
+    }
+    assert metrics["strategy"] == "hashmin"  # tiny graph
+    assert metrics["canonical_edges"] > 0
+    explicit = {
+        r.v: r.component
+        for r in connected_components(df, strategy="star").collect()
+    }
+    assert auto == explicit
+
+
+def test_pagerank_resume_refuses_different_sources(spark, tmp_path):
+    # ADVICE r2: the fingerprint must pin the edge set and source set —
+    # a personalized run must not resume a plain run's checkpoint
+    pairs = _random_directed(11, 30, 50)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "pr_fp")
+    pagerank(df, num_iters=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    with pytest.raises(ValueError, match="fingerprint"):
+        pagerank(
+            df,
+            num_iters=4,
+            checkpoint_dir=ckpt,
+            checkpoint_every=1,
+            resume=True,
+            sources=[pairs[0][0]],
+        )
+    other = edges_df(spark, pairs + [(77, 78)])
+    with pytest.raises(ValueError, match="fingerprint"):
+        pagerank(other, num_iters=4, checkpoint_dir=ckpt, resume=True)

@@ -125,9 +125,28 @@ def test_media_stats_deterministic_and_exact(spark, docs):
         assert r.n_frames == (1 if r.kind == "image" else 1 + nb % 120)
 
 
-def test_decode_media_real_raises(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_media(attach_media(docs), real_decode=True)
+def test_decode_media_real_path(spark, docs):
+    # import-guarded: raises without PIL; decodes real headers with it
+    from wedge_parallel_triangle_counting_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_media(attach_media(docs), real_decode=True)
+        return
+    # PIL present (real cluster): a real PNG decodes, garbage → nulls
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue())), (2, "image", bytearray(b"junk"))],
+        "doc_id long, kind string, media binary",
+    )
+    rows = {r.doc_id: r for r in decode_media(media, real_decode=True).collect()}
+    assert (rows[1].width, rows[1].height) == (17, 9)
+    assert rows[2].width is None and rows[2].height is None
 
 
 def test_frame_sample_only_video(spark, docs):
@@ -218,3 +237,39 @@ def test_streaming_triangles_incremental_matches_batch(spark, tmp_path):
     want = triangle_count(event_edges(events)).collect()[0][0]
     assert got == want
     assert want > 0
+
+
+def test_streaming_triangles_refuses_stale_checkpoint(spark, tmp_path):
+    # ADVICE r2: the running count lives on the driver, so resuming an
+    # existing checkpoint would silently skip committed batches —
+    # a rerun against a used checkpoint dir must fail loudly
+    from wedge_parallel_triangle_counting_spark.streaming.triangles import (
+        run_streaming_triangle_count,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.read.parquet(f"{SF}/events.parquet").limit(50).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "one"))
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(str(tmp_path / "one" / "part-*.parquet"))):
+        shutil.copy(f, src / f"part-{i}.parquet")
+    ck = tmp_path / "ck"
+    first = run_streaming_triangle_count(spark, str(src), str(ck)).collect()[0][0]
+    assert first >= 0
+    with pytest.raises(ValueError, match="non-empty"):
+        run_streaming_triangle_count(spark, str(src), str(ck))
+
+
+def test_derive_axis_nbits_rule():
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        derive_axis_nbits,
+    )
+
+    assert derive_axis_nbits(500, 64, 8) == 8  # dim-capped: (64-1)//8+1
+    assert derive_axis_nbits(500, 1024, 8) == 9  # (499).bit_length()
+    assert derive_axis_nbits(10**9, 1024, 8) == 24  # upper clamp
+    assert derive_axis_nbits(1, 1024, 8) == 8  # lower clamp, no log(0)

@@ -1,16 +1,18 @@
-"""Connected components. Default strategy="star": the large-star/
-small-star trick (Kiveris et al., "Connected Components in MapReduce
-and Beyond"), which contracts paths doubly-logarithmically — the right
-choice on web-scale graphs whose diameter is large.
+"""Connected components. strategy="auto" (default) prepares the
+canonical edge set once, counts it, and picks:
 
-strategy="hashmin" keeps the classic label propagation: label(v)
-starts at v; each iteration takes the min of the vertex's own label
-and its neighbors' labels over the symmetrized edge set; converges in
-O(diameter) rounds. Both return component = min vertex id in the
-component (the oracle's reachability definition).
+- "hashmin" below AUTO_HASHMIN_MAX_EDGES — classic min-label
+  propagation: one join + one agg per round, converges in O(diameter)
+  rounds. Small/medium graphs have small diameters and fit executor
+  memory, so fewer shuffles per round wins.
+- "star" above it — the large-star/small-star trick (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond"), which contracts
+  paths doubly-logarithmically: more shuffles per round, but the round
+  COUNT is ~log log n even on high-diameter web crawls, and the state
+  is the contracting edge relation itself. The right 100 TB call.
 
-Per-iteration cost: one join + one agg, same key (v) — static edge
-side pre-partitioned and persisted. Lineage truncated per iteration;
+Both return component = min vertex id in the component (the oracle's
+reachability definition). Per-iteration state is lineage-truncated;
 durable checkpoint + manifest on cadence.
 """
 
@@ -22,6 +24,28 @@ from pyspark.sql import functions as F
 from .checkpointing import CheckpointedLoop
 from .graph import normalize_edges, symmetrize
 
+# Below this many canonical edges, hashmin's fewer-shuffles-per-round
+# beats star's fewer rounds (measured 2x at sf0.1: 5.0s vs 9.9s,
+# BENCH_r02); above it, diameter risk dominates — a web crawl's long
+# chains would make hashmin run O(diameter) full-graph rounds.
+AUTO_HASHMIN_MAX_EDGES = 50_000_000
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected pair set, canonical (large, small) per row — built
+    DIRECTLY as a canonical dedup (one m-row shuffle; symmetrize+filter
+    would shuffle 2m). Returned persisted; caller unpersists."""
+    npart = edges.sparkSession.sparkContext.defaultParallelism
+    clean = normalize_edges(edges).filter(F.col("src") != F.col("dst"))
+    return (
+        clean.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .repartition(npart, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+
 
 def connected_components(
     edges: DataFrame,
@@ -29,27 +53,94 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
-    strategy: str = "star",
+    strategy: str = "auto",
     partition_stats: bool = False,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Returns DataFrame [v: long, component: long] (component = min
     vertex id in the component). Isolated vertices don't exist here —
-    the vertex set is induced by the edge table."""
-    if strategy == "star":
-        return _components_star(
-            edges, max_iters, checkpoint_dir, checkpoint_every, resume
-        )
-    if strategy != "hashmin":
+    the vertex set is induced by the edge table.
+
+    strategy="auto" counts the canonical edge set (one job over the
+    prep it shares with both algorithms) and picks hashmin under
+    AUTO_HASHMIN_MAX_EDGES, star above; the choice and the count are
+    recorded in `metrics` when given."""
+    if strategy not in ("auto", "star", "hashmin"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    if strategy == "hashmin":
+        if metrics is not None:
+            metrics["strategy"] = "hashmin"
+        return _components_hashmin(
+            edges,
+            None,
+            max_iters,
+            checkpoint_dir,
+            checkpoint_every,
+            resume,
+            partition_stats,
+        )
+
+    e = _canonical_edges(edges)
+    m = e.count()
+    chosen = (
+        "hashmin" if strategy == "auto" and m <= AUTO_HASHMIN_MAX_EDGES else "star"
+    )
+    if metrics is not None:
+        metrics["strategy"] = chosen
+        metrics["canonical_edges"] = m
+    if chosen == "hashmin":
+        # reuse the canonical prep: e ∪ flip(e) is already clean and
+        # dedup'd, so the hashmin path skips its own symmetrize+dedup
+        sym = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+            .persist()
+        )
+        out = _components_hashmin(
+            edges,
+            (sym, 2 * m),
+            max_iters,
+            checkpoint_dir,
+            checkpoint_every,
+            resume,
+            partition_stats,
+        )
+        # released after the loop (which materialized sym from e's
+        # cached blocks); the returned labels are lineage-truncated
+        e.unpersist()
+        return out
+    return _components_star(
+        e, m, max_iters, checkpoint_dir, checkpoint_every, resume
+    )
+
+
+def _components_hashmin(
+    edges: DataFrame,
+    prebuilt: tuple[DataFrame, int] | None,
+    max_iters: int,
+    checkpoint_dir: str | None,
+    checkpoint_every: int,
+    resume: bool,
+    partition_stats: bool,
+) -> DataFrame:
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    if prebuilt is not None:
+        sym, sym_cnt = prebuilt
+    else:
+        sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+        sym_cnt = None
     verts = sym.select(F.col("src").alias("v")).distinct()
 
     # input fingerprint (edge count) guards resume() against a changed
     # graph; only computed when durable checkpointing is on
-    fp = {"sym_edges": sym.count()} if checkpoint_dir else None
+    if checkpoint_dir:
+        fp = {"sym_edges": sym_cnt if sym_cnt is not None else sym.count()}
+    else:
+        fp = None
     loop = CheckpointedLoop(
         spark,
         "components",
@@ -103,32 +194,19 @@ def connected_components(
 
 
 def _components_star(
-    edges: DataFrame,
+    e: DataFrame,
+    prev_cnt: int,
     max_iters: int,
     checkpoint_dir: str | None,
     checkpoint_every: int,
     resume: bool,
 ) -> DataFrame:
-    """Alternating large-star / small-star contraction. State is the
+    """Alternating large-star / small-star contraction over the
+    persisted canonical edge set `e` (count `prev_cnt`). State is the
     parent pointer table; converges when the edge relation is a star
     forest. Doubly-logarithmic rounds — preferred at 100 TB scale."""
-    spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
+    spark = e.sparkSession
 
-    # undirected pair set, canonical (large, small) per row — built
-    # DIRECTLY as a canonical dedup (one m-row shuffle; symmetrize+
-    # filter would shuffle 2m) and persisted: round 1 reads it three
-    # times (count, both union branches)
-    clean = normalize_edges(edges).filter(F.col("src") != F.col("dst"))
-    e = (
-        clean.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .repartition(npart, "src")
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
-    prev_cnt = e.count()
     fp = {"canonical_edges": prev_cnt} if checkpoint_dir else None
     loop = CheckpointedLoop(
         spark, "components_star", checkpoint_dir, checkpoint_every, fingerprint=fp

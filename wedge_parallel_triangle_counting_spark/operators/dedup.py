@@ -68,6 +68,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact token-n-gram Jaccard similarity:
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold.
@@ -81,12 +82,21 @@ def ngram_jaccard_pairs(
     scale (a shingle in k docs contributes k² candidate rows). Note
     the cutoff changes the similarity semantics slightly: pairs whose
     overlap is ONLY ultra-common shingles are not near-duplicates in
-    any useful sense. Pass None to disable."""
+    any useful sense. Pass None to disable.
+
+    The shingle frame feeds three consumers (sizes, both join sides).
+    Pass a `caches` list to persist it across them — the frame is
+    appended so the CALLER unpersists after its terminal action
+    (same contract as triangle_count's internal caches). The default
+    recomputes the shingle scan per consumer but never leaks a cached
+    block into a long-lived session."""
     sh = shingles(docs, n=n)
     if max_shingle_freq is not None:
         keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(keep.select("shingle"), "shingle")
-    sh = sh.persist()
+    if caches is not None:
+        sh = sh.persist()
+        caches.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode libraries (PIL / torchaudio / ffmpeg) are NOT in this
-container, so the actual byte→pixels/samples decode is STUBBED:
-`decode_media(real_decode=True)` raises NotImplementedError, and the
-default path produces a deterministic fake decode (dimensions derived
-from byte length). Everything around the stub — schema, binary Arrow
-transfer, mapInPandas batch shape, partitioning — is real and tested.
+The decode path is import-guarded: when PIL is importable,
+`decode_media(real_decode=True)` reads real image dimensions
+(header-only, corrupt bytes → null dims); when it is not — as in this
+container — real_decode raises NotImplementedError and the default
+path produces a deterministic fake decode (dimensions derived from
+byte length) so correctness checks stay environment-independent.
+Everything around the decode — schema, binary Arrow transfer,
+mapInPandas batch shape, partitioning — is real and tested either way.
 
 Scale notes: media bytes are the widest column by far; every operator
 here selects only the columns it needs so Catalyst prunes the scan
@@ -16,11 +18,20 @@ batch sizes are bounded by spark.sql.execution.arrow.maxRecordsPerBatch.
 
 from __future__ import annotations
 
+import io
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # import-guarded: PIL exists on real clusters, not in this sandbox
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised in this container
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_SCHEMA = "doc_id long, kind string, media binary"
 STATS_SCHEMA = "doc_id long, kind string, n_bytes long, width long, height long, n_frames long"
@@ -50,12 +61,28 @@ def _fake_dims(n_bytes: int, kind: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
+def _pil_dims(raw: bytes) -> tuple[int | None, int | None]:
+    """Header-only image decode (PIL reads dimensions lazily — no full
+    pixel decode). Undecodable bytes yield nulls, never an executor
+    crash: at web scale some fraction of fetched media is always
+    corrupt, and a poison row must not kill the stage."""
+    try:
+        with _PILImage.open(io.BytesIO(raw)) as im:
+            return int(im.width), int(im.height)
+    except Exception:  # noqa: BLE001 - any decode failure → null dims
+        return None, None
+
+
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """(doc_id, kind, n_bytes, width, height, n_frames) via an
-    Arrow-batched pandas UDF over the binary column. With
-    real_decode=True this is where PIL/ffmpeg would run — not available
-    in this container."""
-    if real_decode:
+    Arrow-batched pandas UDF over the binary column.
+
+    real_decode=True uses PIL when importable (header-only dimension
+    read for kind='image'; corrupt bytes → null dims; audio/video need
+    ffmpeg and also yield nulls) and raises when PIL is absent, so the
+    same code runs real decodes on a cluster that has the library while
+    this container exercises the deterministic fake path."""
+    if real_decode and not HAS_PIL:
         raise NotImplementedError(
             "real media decode requires PIL/ffmpeg, not present in this "
             "environment; the Spark-side plumbing is exercised by the "
@@ -67,17 +94,23 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
             if len(pdf) == 0:
                 continue
             n_bytes = pdf["media"].map(len)
-            dims = [
-                _fake_dims(nb, k) for nb, k in zip(n_bytes, pdf["kind"])
-            ]
+            if real_decode:
+                dims = [
+                    (*_pil_dims(raw), None) if k == "image" else (None, None, None)
+                    for raw, k in zip(pdf["media"], pdf["kind"])
+                ]
+            else:
+                dims = [
+                    _fake_dims(nb, k) for nb, k in zip(n_bytes, pdf["kind"])
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "kind": pdf["kind"].values,
                     "n_bytes": n_bytes.astype("int64").values,
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int64"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int64"),
+                    "n_frames": pd.array([d[2] for d in dims], dtype="Int64"),
                 }
             )
 

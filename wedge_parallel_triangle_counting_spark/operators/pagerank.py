@@ -81,8 +81,22 @@ def pagerank(
         checkpoint_dir,
         checkpoint_every,
         collect_partition_stats=partition_stats,
+        # fingerprint must pin the GRAPH and the QUERY, not just the
+        # vertex count (ADVICE r2): same-n different graphs, or a
+        # personalized run resuming a plain run's checkpoint, must be
+        # rejected — match the components/kcore fingerprints. The edge
+        # count job only runs when checkpointing is on.
         fingerprint=(
-            {"n_vertices": n, "damping": damping} if checkpoint_dir else None
+            {
+                "n_vertices": n,
+                "m_edges": e.count(),
+                "damping": damping,
+                "sources": sorted(int(x) for x in sources)
+                if sources is not None
+                else None,
+            }
+            if checkpoint_dir
+            else None
         ),
     )
     start = 0

@@ -116,22 +116,39 @@ def axis_bucket(vec_col, coords: list[int] | None = None):
     return bucket.cast("long")
 
 
+def derive_axis_nbits(n_rows: int, dim: int, stride: int = AXIS_STRIDE) -> int:
+    """The docstring scaling rule as code: nbits ≈ log2(N) so per-bucket
+    candidates (≈N²/2^nbits) stay ≈linear, clamped to [8, 24] and to
+    what the embedding dimension can host (stride·(nbits−1)+1 ≤ dim).
+    Integer-exact (bit_length, no float log) so the DuckDB oracle can
+    reproduce it bit for bit via length(bin(N−1))."""
+    by_n = max(8, (max(n_rows, 1) - 1).bit_length())
+    by_dim = (dim - 1) // stride + 1
+    return min(24, by_dim, by_n)
+
+
 def lsh_bucket_pairs(
     emb: DataFrame,
     threshold: float = 0.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nbits: int = AXIS_BITS,
+    nbits: int | None = None,
     stride: int = AXIS_STRIDE,
 ) -> DataFrame:
     """Candidate pairs sharing an axis-sign bucket, filtered by exact
     cosine >= threshold. Returns (id_a, id_b, cos), id_a < id_b.
 
-    `nbits` sets the bucket space (2^nbits buckets) — scale it with
-    corpus size (≈log2(N)) so the per-bucket self-join stays ≈linear;
-    the default 8 is a SMALL-N setting. For web scale prefer
-    `random_plane_lsh_candidates`, whose signature bits don't consume
-    embedding coordinates."""
+    `nbits` sets the bucket space (2^nbits buckets); the default None
+    derives it from the corpus (one count+dim agg job): ≈log2(N) so
+    the per-bucket self-join stays ≈linear, clamped to [8, 24] and to
+    the embedding dimension (see derive_axis_nbits). Pass an int to
+    pin it. For web scale prefer `random_plane_lsh_candidates`, whose
+    signature bits don't consume embedding coordinates."""
+    if nbits is None:
+        n_rows, dim = emb.agg(
+            F.count(F.lit(1)), F.max(F.size(F.col(vec_col)))
+        ).first()
+        nbits = derive_axis_nbits(int(n_rows), int(dim), stride)
     base = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
@@ -171,11 +188,14 @@ def random_plane_signatures(
     nbits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, sig) — random-hyperplane signatures, one matmul per
-    Arrow batch inside mapInPandas (the scale path)."""
+    Arrow batch inside mapInPandas (the scale path). Pass `dim` when
+    known to skip the one-row sniff job."""
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes_bc = spark.sparkContext.broadcast(_planes(dim, nbits))
     sel = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("v")
@@ -201,12 +221,13 @@ def random_plane_lsh_candidates(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Candidate pairs agreeing on at least one signature band
     (banded random-hyperplane LSH). Returns distinct (id_a, id_b).
     Bands are posexploded and matched with ONE (band_idx, band)
     self-join — one shuffle, nothing persisted."""
-    sig = random_plane_signatures(emb, nbits, id_col, vec_col)
+    sig = random_plane_signatures(emb, nbits, id_col, vec_col, dim=dim)
     rows = nbits // bands
     mask = (1 << rows) - 1
     band_exprs = [

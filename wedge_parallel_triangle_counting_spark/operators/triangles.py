@@ -399,7 +399,14 @@ def _wedge_count(
         # routing stays a join either way, never a driver id list.
         m = stats["m_oriented"]
         maybe_hubs = stats["max_degree"] >= hub_min_deg
-        route_broadcast = stats["n"] <= HUB_ROUTE_BROADCAST_MAX
+        # gate the routing broadcast on the HUB count like the relabel
+        # path (ADVICE r2): Σ outdeg = m bounds the number of vertices
+        # with outdeg >= hub_min_deg by m / hub_min_deg, so a large
+        # graph with few hubs still broadcasts — no extra job needed
+        route_broadcast = (
+            stats["n"] <= HUB_ROUTE_BROADCAST_MAX
+            or m // hub_min_deg <= HUB_ROUTE_BROADCAST_MAX
+        )
     else:
         # relabel path: one stats job over the persisted oriented set
         st = odeg.agg(

@@ -654,25 +654,47 @@ FROM ranked WHERE rank <= {k}
 
 
 def lsh_bucket_pairs_sql(
-    threshold: float = 0.2, nbits: int = 8, stride: int = 8
+    threshold: float = 0.2, nbits: int | None = None, stride: int = 8
 ) -> str:
-    from ..operators.similarity import axis_coords
-
-    bucket = " + ".join(
-        f"(CASE WHEN v[{c}] >= 0 THEN {1 << p} ELSE 0 END)"
-        for p, c in enumerate(axis_coords(nbits, stride))
-    )
+    """nbits=None mirrors similarity.derive_axis_nbits exactly:
+    min(24, (dim-1)//stride + 1, max(8, bit_length(N-1))) — DuckDB's
+    length(bin(N-1)) IS bit_length for N>1, and the <=8 disagreement
+    at N<=1 is absorbed by the greatest(8, ...) clamp. Bucket bits are
+    summed over a generated series so the SQL needs no static unroll."""
+    if nbits is not None:
+        params = f"SELECT {nbits} AS nbits"
+    else:
+        params = f"""
+    SELECT least(24,
+                 (max(length(embedding)) - 1) // {stride} + 1,
+                 greatest(8, length(bin(greatest(count(*), 1) - 1)))) AS nbits
+    FROM embeddings
+""".strip()
     return f"""
-WITH base AS (
+WITH params AS (
+    {params}
+),
+bits AS (
+    SELECT unnest(generate_series(0, nbits - 1)) AS p FROM params
+),
+base AS (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
+bucketed AS (
+    SELECT base.vec_id,
+           CAST(sum(CASE WHEN base.v[1 + {stride} * bits.p] >= 0
+                         THEN (CAST(1 AS BIGINT) << bits.p) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM base CROSS JOIN bits
+    GROUP BY base.vec_id
+),
 nb AS (
-    SELECT vec_id, v,
-           sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-           CAST({bucket} AS BIGINT) AS bucket
-    FROM base
+    SELECT base.vec_id, base.v,
+           sqrt(list_sum(list_transform(base.v, x -> x * x))) AS nrm,
+           bucketed.bucket
+    FROM base JOIN bucketed USING (vec_id)
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos

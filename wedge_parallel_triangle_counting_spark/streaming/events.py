@@ -72,25 +72,50 @@ def run_streaming_windowed(
         "ts", watermark
     )
     agg = windowed_counts(stream)
+    if output_mode != "update":
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("windowed_events")
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table("windowed_events")
+
+    # update mode: "last emission per key" needs an explicit recency
+    # stamp — foreachBatch captures the BATCH ID (ADVICE r2: the memory
+    # sink's partition order is not a documented proxy for emission
+    # order), and each micro-batch is frozen with localCheckpoint
+    # before its frame goes out of scope.
+    batches: list[DataFrame] = []
+
+    def capture(df: DataFrame, batch_id: int) -> None:
+        batches.append(
+            df.withColumn("_batch", F.lit(int(batch_id))).localCheckpoint(eager=True)
+        )
+
     query = (
-        agg.writeStream.format("memory")
-        .queryName("windowed_events")
-        .outputMode(output_mode)
+        agg.writeStream.foreachBatch(capture)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    out = spark.table("windowed_events")
-    if output_mode == "update":
-        # keep the LAST emission per window key (micro-batch order)
-        w_all = out.withColumn("_seq", F.monotonically_increasing_id())
-        from pyspark.sql import Window
+    if not batches:
+        return spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n_events bigint, total_value double"
+        )
+    from functools import reduce
 
-        rn = F.row_number().over(
-            Window.partitionBy("window_start", "event_type").orderBy(F.desc("_seq"))
-        )
-        out = (
-            w_all.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn", "_seq")
-        )
-    return out
+    from pyspark.sql import Window
+
+    w_all = reduce(lambda a, b: a.unionByName(b), batches)
+    # a key appears at most once per micro-batch, so max batch id IS
+    # the last emission — no intra-batch tiebreak needed
+    rn = F.row_number().over(
+        Window.partitionBy("window_start", "event_type").orderBy(F.desc("_batch"))
+    )
+    return w_all.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn", "_batch")

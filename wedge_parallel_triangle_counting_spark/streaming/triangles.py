@@ -23,6 +23,8 @@ stream is unbounded.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,7 +111,20 @@ def run_streaming_triangle_count(
 ) -> DataFrame:
     """Replay the events directory as a stream (availableNow) and
     maintain the exact cumulative triangle count incrementally.
-    Returns a 1-row DataFrame [triangles: long]."""
+    Returns a 1-row DataFrame [triangles: long].
+
+    The running state lives on the DRIVER (a _TriangleState), not in
+    the streaming checkpoint — so resuming an existing checkpoint would
+    make foreachBatch silently skip already-committed batches and
+    undercount (ADVICE r2). Refuse a non-empty checkpoint dir instead:
+    this operator computes the cumulative count of ONE full replay."""
+    ckpt = Path(checkpoint_dir)
+    if ckpt.exists() and any(ckpt.iterdir()):
+        raise ValueError(
+            f"checkpoint dir {checkpoint_dir!r} is non-empty: resuming "
+            "would skip committed batches while the driver-held count "
+            "restarts at 0 (silent undercount). Use a fresh directory."
+        )
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
