@@ -173,6 +173,45 @@ def test_sampled_empty_graph(spark):
     assert (row.estimate, row.closed, row.sampled, row.total_wedges) == (0, 0, 0, 0)
 
 
+def test_fused_matches_distributed_on_zipf_hubs(spark):
+    # the collect-fused path (driver-derived stats/hubs/probe) must
+    # agree with the fully distributed closure on a skewed graph where
+    # the hub lane is active
+    rng = random.Random(41)
+    pairs = [(0, rng.randrange(1, 80)) for _ in range(400)]  # hub 0
+    pairs += _random_graph(43, 80, 300)
+    expected = _brute_triangles(pairs)
+    df = edges_df(spark, pairs)
+    fused = triangle_count(df, split_budget=16, hub_k=16).collect()[0][0]
+    dist = triangle_count(df, closure="join", split_budget=16).collect()[0][0]
+    assert fused == dist == expected
+
+
+def test_fused_id_overflow_falls_back_to_relabel(spark):
+    # vertex ids too large for int64 edge keys: the fused path must
+    # decline and the relabel pipeline must still produce the count
+    base = 3_000_000_000  # (max_id+1)^2 > 2^62
+    pairs = [(base, base + 1), (base + 1, base + 2), (base, base + 2), (base + 2, base + 3)]
+    got = triangle_count(edges_df(spark, pairs)).collect()[0][0]
+    assert got == 1
+
+
+def test_phase_metrics_enumerate_probe_split(spark):
+    # VERDICT r2 item 8: the get/evaluate wedge split (tc_cycles'
+    # accounting) must be surfaced for the wedge AND arrow strategies
+    pairs = _random_graph(47, 50, 400)
+    df = edges_df(spark, pairs)
+    for strategy in ("wedge", "arrow", "vertex"):
+        phases: dict = {}
+        triangle_count(df, strategy=strategy, phase_metrics=phases)
+        assert {"prep_sec", "build_sec", "exec_sec"} <= set(phases), (strategy, phases)
+        assert "enumerate_cpu_sec" in phases and "probe_cpu_sec" in phases, (
+            strategy,
+            phases,
+        )
+        assert phases["enumerate_cpu_sec"] >= 0 and phases["probe_cpu_sec"] > 0
+
+
 def test_hub_routing_never_collects_id_lists():
     # VERDICT r1 item 2: hub-lane routing must be a join, never a
     # driver-side id list — no collect_list / isin-literal routing in

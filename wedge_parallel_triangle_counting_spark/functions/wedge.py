@@ -21,6 +21,8 @@ over bounded-size blocks (the analogue of kernel-launch chunking,
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 # A block bounds peak memory of the enumerate+probe stage
@@ -199,9 +201,15 @@ def count_triangles_block(
     hub_bitmap: np.ndarray | None = None,
     hub_ids: np.ndarray | None = None,
     block_pairs: int = DEFAULT_BLOCK_PAIRS,
+    timings: dict | None = None,
 ) -> int:
     """Count closed wedges for a batch of adjacency rows, processing in
-    bounded-size blocks of rows (launch-chunking analogue, O4)."""
+    bounded-size blocks of rows (launch-chunking analogue, O4).
+
+    `timings`, if given, accumulates "enum_sec" (wedge enumeration —
+    the reference's get-wedges phase) and "probe_sec" (closure check —
+    its evaluate-wedges phase), mirroring tc_cycles' per-variant cycle
+    split (experiments/tc_cycles.cu:1089-1137)."""
     counts = pair_count(degs, i_lo, i_hi)
     total = 0
     lo = 0
@@ -212,8 +220,14 @@ def count_triangles_block(
         while hi < nrows and acc + counts[hi] <= block_pairs:
             acc += counts[hi]
             hi += 1
+        t0 = time.perf_counter()
         w, u = enumerate_pairs(flat, starts[lo:hi], degs[lo:hi], i_lo[lo:hi], i_hi[lo:hi])
+        t1 = time.perf_counter()
         total += probe_pairs(w, u, edge_keys, key_base, hub_bitmap, hub_ids)
+        if timings is not None:
+            t2 = time.perf_counter()
+            timings["enum_sec"] = timings.get("enum_sec", 0.0) + (t1 - t0)
+            timings["probe_sec"] = timings.get("probe_sec", 0.0) + (t2 - t1)
         lo = hi
     return total
 
@@ -228,12 +242,14 @@ def count_arrow_block(
     hub_bitmap: np.ndarray | None = None,
     hub_ids: np.ndarray | None = None,
     block_pairs: int = DEFAULT_BLOCK_PAIRS,
+    timings: dict | None = None,
 ) -> int:
     """Arrow (path-wedge) evaluation: for each row r the path center is
     `centers[r] = v` of an oriented edge (v, w), and the row's adjacency
     is adj(w); every u in adj(w) forms a path v→w→u whose closure {v,u}
     is probed. Mirrors the two-level wedge_vp/wedge_vi walk of
-    experiments/tc_arrow.cu:345-371, chunked like O4."""
+    experiments/tc_arrow.cu:345-371, chunked like O4. `timings` as in
+    count_triangles_block (get/evaluate split)."""
     total = 0
     lo = 0
     nrows = len(degs)
@@ -243,10 +259,16 @@ def count_arrow_block(
         while hi < nrows and acc + degs[hi] <= block_pairs:
             acc += int(degs[hi])
             hi += 1
+        t0 = time.perf_counter()
         d = degs[lo:hi]
         w = np.repeat(centers[lo:hi].astype(np.int64, copy=False), d)
         s0 = starts[lo]
         u = flat[s0 : s0 + int(d.sum())]
+        t1 = time.perf_counter()
         total += probe_pairs(w, u, edge_keys, key_base, hub_bitmap, hub_ids)
+        if timings is not None:
+            t2 = time.perf_counter()
+            timings["enum_sec"] = timings.get("enum_sec", 0.0) + (t1 - t0)
+            timings["probe_sec"] = timings.get("probe_sec", 0.0) + (t2 - t1)
         lo = hi
     return total

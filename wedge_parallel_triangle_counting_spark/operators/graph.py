@@ -173,6 +173,24 @@ def prepare_oriented(
     return oriented, ranks, n
 
 
+def build_sym_clustered(edges: DataFrame, npart: int) -> DataFrame:
+    """Dirty edges → clean symmetric simple graph hash-clustered by src
+    on ONE edge-sized exchange: both directions come from a single scan
+    (explode stays in whole-stage codegen), and the dedup's final
+    aggregate reuses the hash(src) partitioning (ClusteredDistribution
+    (src, dst) is satisfied by it — no second exchange)."""
+    clean = drop_self_loops(normalize_edges(edges))
+    both = clean.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").repartition(npart, "src")
+    return both.dropDuplicates(["src", "dst"])
+
+
 def prepare_oriented_fast(
     edges: DataFrame,
     npartitions: int | None = None,
@@ -210,18 +228,7 @@ def prepare_oriented_fast(
     """
     spark = edges.sparkSession
     npart = npartitions or spark.sparkContext.defaultParallelism
-    clean = drop_self_loops(normalize_edges(edges))
-    # both directions from ONE scan (a union of clean+flipped reads
-    # the source twice); explode stays in whole-stage codegen
-    both = clean.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
-                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst").repartition(npart, "src")
-    sym = both.dropDuplicates(["src", "dst"]).persist()
+    sym = build_sym_clustered(edges, npart).persist()
     if caches is not None:
         caches.append(sym)
     deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
@@ -238,6 +245,27 @@ def prepare_oriented_fast(
     n = row["n"]
     max_id = row["mx"] if row["mx"] is not None else -1
 
+    oriented = orient_from_sym(sym, npart, n, deg=deg)
+    deg_out = deg.select(F.col("src").alias("v"), "degree")
+    stats = {
+        "n": n,
+        "max_id": max_id,
+        "m_oriented": int(row["m_sym"]) // 2,
+        "max_degree": row["max_deg"] if row["max_deg"] is not None else 0,
+    }
+    return oriented, deg_out, n, max_id, stats
+
+
+def orient_from_sym(
+    sym: DataFrame, npart: int, n: int, deg: DataFrame | None = None
+) -> DataFrame:
+    """Degree-order orientation of a symmetric edge table in original id
+    space via two degree joins (broadcast when the vertex table is known
+    small). When `sym` is hash-clustered by src and the joins broadcast,
+    the output keeps that clustering (zero extra exchange) — the fast
+    prep's tail (tc_base.cu:640-651 generalized to degree order)."""
+    if deg is None:
+        deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
     bc = n <= RELABEL_BROADCAST_MAX
     d_src = deg.select("src", F.col("degree").alias("d_src"))
     d_dst = deg.select(F.col("src").alias("dst"), F.col("degree").alias("d_dst"))
@@ -251,14 +279,7 @@ def prepare_oriented_fast(
         # the dst-side join re-clustered the edges by dst; restore the
         # src clustering the downstream CSR lane relies on
         oriented = oriented.repartition(npart, "src")
-    deg_out = deg.select(F.col("src").alias("v"), "degree")
-    stats = {
-        "n": n,
-        "max_id": max_id,
-        "m_oriented": int(row["m_sym"]) // 2,
-        "max_degree": row["max_deg"] if row["max_deg"] is not None else 0,
-    }
-    return oriented, deg_out, n, max_id, stats
+    return oriented
 
 
 def degree_histogram(sym_deg: DataFrame) -> DataFrame:

@@ -6,9 +6,18 @@ the same query (SURVEY.md §2.11); we expose the same axis as a
 (differential testing, mirroring the reference's cross-variant
 agreement):
 
-- "wedge"  (default, the WeTriC strategy, tc.cu:173-293): fused
-  single-shuffle preprocessing (degree-ordered orientation in ORIGINAL
-  id space — graph.prepare_oriented_fast), then a two-lane plan:
+- "wedge"  (default, the WeTriC strategy, tc.cu:173-293): in the
+  broadcast-closure regime (≤30M edges) the COLLECT-FUSED path runs
+  exactly two edge-sized jobs: the single symmetrize/dedup shuffle
+  terminated by the probe's Arrow collect (degrees, stats, orientation,
+  hub detection and the hub bitmap all derived from the collected
+  arrays in numpy), then one count job in which the vectorized UDF
+  applies the degree-order orientation and hub skip against a broadcast
+  degree dictionary — no stats job, no degree joins. Beyond that
+  regime (or under explicit partitioner/prep overrides) the general
+  two-lane plan runs: fused single-shuffle preprocessing
+  (degree-ordered orientation in ORIGINAL id space —
+  graph.prepare_oriented_fast), then:
   * non-hub lane: oriented edges are already hash-clustered by src
     from the prep shuffle; a sortWithinPartitions makes the partition
     the CSR (columnar src/dst, no array objects) with NO further
@@ -88,7 +97,7 @@ class _Probe:
         self.hub_bc = hub_bc
         self.hub_ids = hub_ids
 
-    def count(self, flat, starts, degs, i_lo, i_hi) -> int:
+    def count(self, flat, starts, degs, i_lo, i_hi, timings=None) -> int:
         return wk.count_triangles_block(
             flat,
             starts,
@@ -99,9 +108,10 @@ class _Probe:
             self.key_base,
             self.hub_bc.value if self.hub_bc is not None else None,
             self.hub_ids,
+            timings=timings,
         )
 
-    def count_arrow(self, centers, flat, starts, degs) -> int:
+    def count_arrow(self, centers, flat, starts, degs, timings=None) -> int:
         return wk.count_arrow_block(
             centers,
             flat,
@@ -111,6 +121,7 @@ class _Probe:
             self.key_base,
             self.hub_bc.value if self.hub_bc is not None else None,
             self.hub_ids,
+            timings=timings,
         )
 
 
@@ -122,6 +133,23 @@ def _runs(src: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, degs
 
 
+# Every count UDF emits one row per partition with the triangle count
+# plus the get/evaluate CPU-second split (reference accounting,
+# experiments/tc_cycles.cu:1089-1137); the splits are summed across
+# tasks, so they are CPU seconds and may exceed wall time.
+COUNT_SCHEMA = "tri long, enum_sec double, probe_sec double"
+
+
+def _timed_row(total: int, timings: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "tri": [total],
+            "enum_sec": [timings.get("enum_sec", 0.0)],
+            "probe_sec": [timings.get("probe_sec", 0.0)],
+        }
+    )
+
+
 def _flat_count_udf(probe: _Probe):
     """Count wedges closing over partitions of (src, dst) rows sorted by
     (src, dst) — the partition is consumed as columnar CSR directly.
@@ -131,11 +159,12 @@ def _flat_count_udf(probe: _Probe):
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry_s = carry_d = None
         total = 0
+        timings: dict = {}
 
         def process(src: np.ndarray, dst: np.ndarray) -> int:
             starts, degs = _runs(src)
             return probe.count(
-                dst, starts, degs, np.zeros(len(degs), np.int64), degs - 1
+                dst, starts, degs, np.zeros(len(degs), np.int64), degs - 1, timings
             )
 
         for pdf in it:
@@ -153,7 +182,57 @@ def _flat_count_udf(probe: _Probe):
             carry_s, carry_d = src[boundary:], dst[boundary:]
         if carry_s is not None and len(carry_s):
             total += process(carry_s, carry_d)
-        yield pd.DataFrame({"tri": [total]})
+        yield _timed_row(total, timings)
+
+    return run
+
+
+def _flat_count_sym_udf(probe: _Probe, lookup_bc):
+    """Flat-lane count straight over the SYMMETRIC edge table (fused
+    path): the degree-order orientation filter and the hub-center skip
+    run inside the UDF against a broadcast degree dictionary
+    (`lookup_bc`: sorted ids / degree / is_hub arrays), so the count job
+    needs no degree joins at all. A vertex's symmetric adjacency is
+    contiguous in the hash(src)-clustered sorted partition; the filtered
+    subset (its oriented adjacency) stays contiguous and sorted, so the
+    CSR carry logic is identical to `_flat_count_udf` — the carry runs
+    on RAW rows, the filter on each completed run."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_s = carry_d = None
+        total = 0
+        timings: dict = {}
+        look = lookup_bc.value
+        ids, deg, is_hub = look["ids"], look["deg"], look["is_hub"]
+
+        def process(src: np.ndarray, dst: np.ndarray) -> int:
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            ds, dd = deg[si], deg[di]
+            keep = ((ds < dd) | ((ds == dd) & (src < dst))) & ~is_hub[si]
+            src, dst = src[keep], dst[keep]
+            if len(src) == 0:
+                return 0
+            starts, degs = _runs(src)
+            return probe.count(
+                dst, starts, degs, np.zeros(len(degs), np.int64), degs - 1, timings
+            )
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            src = pdf["src"].values.astype(np.int64, copy=False)
+            dst = pdf["dst"].values.astype(np.int64, copy=False)
+            if carry_s is not None:
+                src = np.concatenate([carry_s, src])
+                dst = np.concatenate([carry_d, dst])
+            boundary = int(np.searchsorted(src, src[-1], side="left"))
+            if boundary > 0:
+                total += process(src[:boundary], dst[:boundary])
+            carry_s, carry_d = src[boundary:], dst[boundary:]
+        if carry_s is not None and len(carry_s):
+            total += process(carry_s, carry_d)
+        yield _timed_row(total, timings)
 
     return run
 
@@ -164,6 +243,7 @@ def _array_count_udf(probe: _Probe):
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         total = 0
+        timings: dict = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -178,8 +258,9 @@ def _array_count_udf(probe: _Probe):
                 degs,
                 pdf["i_lo"].values.astype(np.int64),
                 pdf["i_hi"].values.astype(np.int64),
+                timings,
             )
-        yield pd.DataFrame({"tri": [total]})
+        yield _timed_row(total, timings)
 
     return run
 
@@ -191,6 +272,7 @@ def _arrow_count_udf(probe: _Probe):
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         total = 0
+        timings: dict = {}
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -200,8 +282,8 @@ def _arrow_count_udf(probe: _Probe):
             ) if degs.sum() else np.empty(0, np.int64)
             starts = np.cumsum(degs) - degs
             centers = pdf["src"].values.astype(np.int64, copy=False)
-            total += probe.count_arrow(centers, flat, starts, degs)
-        yield pd.DataFrame({"tri": [total]})
+            total += probe.count_arrow(centers, flat, starts, degs, timings)
+        yield _timed_row(total, timings)
 
     return run
 
@@ -327,6 +409,186 @@ def _build_probe(
     return _Probe(keys_bc, key_base, hub_bc, hub_ids)
 
 
+# Max flat adjacency elements the driver may materialize when building
+# hub chunks from the already-collected edge arrays (~400 MB of int64).
+# Chunk rows duplicate the adjacency per chunk, the same duplication the
+# distributed _split_chunks explode pays in shuffle volume; beyond the
+# cap the fully distributed hub lane takes over.
+HUB_DRIVER_CHUNK_ELEMS = 50_000_000
+
+
+def _orientation_arrays(a: np.ndarray, b: np.ndarray):
+    """Degree/orientation prep from collected canonical (a<b) edges —
+    the whole reference preprocess (degree count, degree-order
+    orientation, tc.cu:660-751) as numpy over arrays already resident
+    in driver memory, so the fused path needs NO extra Spark job for
+    stats, hubs, or the probe."""
+    ids, cnt = np.unique(np.concatenate([a, b]), return_counts=True)
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    da, db = cnt[ia], cnt[ib]
+    a_first = (da < db) | ((da == db) & (a < b))
+    src_o = np.where(a_first, a, b)
+    dst_o = np.where(a_first, b, a)
+    pos_o = np.where(a_first, ia, ib)
+    outdeg = np.bincount(pos_o, minlength=len(ids))
+    return ids, cnt, src_o, dst_o, pos_o, outdeg
+
+
+def _hub_chunk_rows(
+    src_o: np.ndarray,
+    dst_o: np.ndarray,
+    pos_o: np.ndarray,
+    hub_flag: np.ndarray,
+    split_budget: int,
+):
+    """Hub-lane chunk rows (v, adj, deg, i_lo, i_hi) built driver-side
+    from the collected oriented arrays (no Spark jobs — the fused
+    analogue of adjacency()+_split_chunks). Returns (rows, None) or
+    (None, est_elems) when materializing them would exceed
+    HUB_DRIVER_CHUNK_ELEMS."""
+    hmask = hub_flag[pos_o]
+    hs, hd = src_o[hmask], dst_o[hmask]
+    if len(hs) == 0:
+        return [], None
+    order = np.lexsort((hd, hs))
+    hs, hd = hs[order], hd[order]
+    starts, degs = _runs(hs)
+    widths = np.maximum(1, split_budget // degs)
+    n_chunks = (degs - 2) // widths + 1  # len(range(0, deg-1, c))
+    est = int((n_chunks * degs).sum())
+    if est > HUB_DRIVER_CHUNK_ELEMS:
+        return None, est
+    rows = []
+    for k in range(len(starts)):
+        d = int(degs[k])
+        if d < 2:
+            continue
+        v = int(hs[starts[k]])
+        c = int(widths[k])
+        adj = hd[starts[k] : starts[k] + d].tolist()
+        for lo_i in range(0, d - 1, c):
+            rows.append((v, adj, d, lo_i, min(lo_i + c, d - 1)))
+    return rows, None
+
+
+def _wedge_fused(
+    spark: SparkSession,
+    edges: DataFrame,
+    hub_k: int,
+    split_budget: int,
+    partitions: int | None,
+    caches: list,
+    mark,
+    phase_metrics: dict | None,
+) -> DataFrame | None:
+    """Collect-fused wedge count (broadcast-closure regime): TWO
+    edge-sized jobs total instead of four.
+
+    - job 1: the single symmetrize/dedup shuffle, terminated by an
+      Arrow collect of the canonical (src<dst) half — the probe copy.
+      Degrees, stats, orientation, hub detection and the hub bitmap are
+      all derived from the collected arrays in numpy (zero extra jobs;
+      the ids were already resident, same argument as the r2 numpy
+      top-k).
+    - job 2: the count — the flat lane reads the cached symmetric
+      table (still hash(src)-clustered from the one shuffle), applies
+      the degree-order orientation + hub skip INSIDE the vectorized UDF
+      via a broadcast degree dictionary (no degree joins), and the hub
+      lane (if any) runs over driver-built chunk rows.
+
+    Returns None when the fused path cannot apply (vertex ids overflow
+    int64 edge keys) — the caller falls back to the relabel pipeline.
+    The broadcast degree dictionary is ~24 B/vertex; in the regime this
+    path gates on (≤30M collected edges) that is ≤ ~1.5 GB worst case
+    and typically far less, the same order as the edge-key broadcast
+    itself."""
+    from .graph import build_sym_clustered, orient_from_sym
+
+    npart = partitions or spark.sparkContext.defaultParallelism
+    sym = build_sym_clustered(edges, npart).persist()
+    caches.append(sym)
+    mark("prep_sec")
+
+    a, b = _collect_long_cols(sym.filter(F.col("src") < F.col("dst")), "src", "dst")
+    m = len(a)
+    if m == 0:
+        mark("build_sec")
+        out = _finish(
+            spark.createDataFrame([(0, 0.0, 0.0)], COUNT_SCHEMA), caches, spark
+        )
+        mark("exec_sec")
+        return out
+    key_base = int(max(a.max(), b.max())) + 1
+    if key_base * key_base > 2**62:
+        return None  # caller unpersists and takes the relabel pipeline
+
+    ids, cnt, src_o, dst_o, pos_o, outdeg = _orientation_arrays(a, b)
+    stats = {
+        "n": int(len(ids)),
+        "max_id": key_base - 1,
+        "m_oriented": m,
+        "max_degree": int(cnt.max()),
+    }
+    hub_min_deg = int((2 * split_budget) ** 0.5) + 2
+    hub_flag = outdeg >= hub_min_deg
+
+    sc = spark.sparkContext
+    edge_keys = wk.build_edge_keys(a, b, key_base)
+    hub_ids = _numpy_top_hub_ids(a, b, hub_k) if hub_k and hub_k > 0 else None
+    hub_bc = (
+        sc.broadcast(wk.build_hub_bitmap(a, b, hub_ids))
+        if hub_ids is not None and len(hub_ids)
+        else None
+    )
+    probe = _Probe(sc.broadcast(edge_keys), key_base, hub_bc, hub_ids)
+
+    hub_rows: list | None = []
+    if bool(hub_flag.any()):
+        hub_rows, est = _hub_chunk_rows(src_o, dst_o, pos_o, hub_flag, split_budget)
+        if hub_rows is None:
+            # pathological hub mass: keep the fully distributed hub
+            # machinery (join routing + explode splitting + wedge_range
+            # balance), reusing the probe and stats already in hand
+            oriented = orient_from_sym(sym, npart, stats["n"]).persist()
+            caches.append(oriented)
+            mark("build_sec")
+            result = _wedge_count(
+                spark,
+                oriented,
+                key_base,
+                None,
+                closure="broadcast",
+                hub_k=hub_k,
+                split_budget=split_budget,
+                partitions=partitions,
+                clustered_by_src=True,
+                partitioner="auto",
+                caches=caches,
+                stats=stats,
+                probe=probe,
+            )
+            out = _finish(result, caches, spark, phase_metrics)
+            mark("exec_sec")
+            return out
+
+    lookup_bc = sc.broadcast({"ids": ids, "deg": cnt, "is_hub": hub_flag})
+    mark("build_sec")
+
+    flat = sym.sortWithinPartitions("src", "dst")
+    counts = flat.mapInPandas(_flat_count_sym_udf(probe, lookup_bc), schema=COUNT_SCHEMA)
+    if hub_rows:
+        hub_df = spark.createDataFrame(
+            hub_rows, "v long, adj array<long>, deg long, i_lo long, i_hi long"
+        ).repartition(npart, "v", "i_lo")
+        counts = counts.unionByName(
+            hub_df.mapInPandas(_array_count_udf(probe), schema=COUNT_SCHEMA)
+        )
+    out = _finish(_sum_counts(counts), caches, spark, phase_metrics)
+    mark("exec_sec")
+    return out
+
+
 def _canonical(oriented: DataFrame) -> DataFrame:
     """Edge set canonicalized by id (src < dst) for semi-join closure —
     orientation order (degree) and id order differ in the fast-prep
@@ -384,8 +646,11 @@ def _wedge_count(
     partitioner: str,
     caches: list,
     stats: dict | None,
+    probe: _Probe | None = None,
 ) -> DataFrame:
-    """Two-lane wedge-parallel count over degree-oriented edges."""
+    """Two-lane wedge-parallel count over degree-oriented edges.
+    `probe`, if given, is a pre-built closure probe (the fused path
+    builds it from its own Arrow collect — no second collect here)."""
     npart = partitions or spark.sparkContext.defaultParallelism
 
     hub_min_deg = int((2 * split_budget) ** 0.5) + 2
@@ -458,13 +723,14 @@ def _wedge_count(
         closure = "broadcast" if m <= BROADCAST_MAX_EDGES else "join"
 
     if closure == "broadcast":
-        probe = _build_probe(spark, oriented, key_base, hub_k)
-        counts = flat_parted.mapInPandas(_flat_count_udf(probe), schema="tri long")
+        if probe is None:
+            probe = _build_probe(spark, oriented, key_base, hub_k)
+        counts = flat_parted.mapInPandas(_flat_count_udf(probe), schema=COUNT_SCHEMA)
         if hub_chunks is not None:
             counts = counts.unionByName(
-                hub_chunks.mapInPandas(_array_count_udf(probe), schema="tri long")
+                hub_chunks.mapInPandas(_array_count_udf(probe), schema=COUNT_SCHEMA)
             )
-        return counts.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
+        return _sum_counts(counts)
 
     # Distributed closure: emit candidate pairs (canonical by id),
     # LEFT SEMI against the canonicalized edge set.
@@ -505,11 +771,31 @@ def _prep(
     return oriented, deg, n, False, None
 
 
-def _finish(result: DataFrame, caches: list, spark: SparkSession) -> DataFrame:
+def _sum_counts(counts: DataFrame) -> DataFrame:
+    """Global reduction of per-partition (tri, enum_sec, probe_sec)."""
+    return counts.agg(
+        F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"),
+        F.coalesce(F.sum("enum_sec"), F.lit(0.0)).alias("enum_sec"),
+        F.coalesce(F.sum("probe_sec"), F.lit(0.0)).alias("probe_sec"),
+    )
+
+
+def _finish(
+    result: DataFrame,
+    caches: list,
+    spark: SparkSession,
+    phase_metrics: dict | None = None,
+) -> DataFrame:
     """Run the terminal action, release every persisted intermediate
     (ADVICE round 1: library callers otherwise accumulate cached blocks
-    across queries), and return a stable 1-row frame."""
-    val = int(result.collect()[0][0])
+    across queries), and return a stable 1-row frame. When the result
+    row carries the enumerate/probe CPU split (broadcast-closure lanes),
+    surface it in `phase_metrics` (tc_cycles' get/evaluate accounting)."""
+    row = result.collect()[0]
+    val = int(row[0])
+    if phase_metrics is not None and "enum_sec" in row.__fields__:
+        phase_metrics["enumerate_cpu_sec"] = round(float(row["enum_sec"]), 4)
+        phase_metrics["probe_cpu_sec"] = round(float(row["probe_sec"]), 4)
     for c in caches:
         try:
             c.unpersist()
@@ -551,6 +837,40 @@ def triangle_count(
             )
             t0 = now
 
+    if strategy == "wedge":
+        # Collect-fused fast path (VERDICT r2 item 5): in the broadcast-
+        # closure regime the probe collect IS the prep action — one
+        # edge shuffle + one count job, no stats job, no degree joins.
+        # The closure="auto" gate uses count() on the INPUT (a cheap
+        # upper bound on the canonical edge count: metadata-fast for
+        # file sources); explicit closure="broadcast" skips the gate.
+        use_fused = (
+            prep in ("auto", "fast")
+            and partitioner in ("auto", "hash")
+            and closure in ("auto", "broadcast")
+        )
+        if use_fused and closure == "auto":
+            use_fused = edges.count() <= BROADCAST_MAX_EDGES
+        if use_fused:
+            out = _wedge_fused(
+                spark,
+                edges,
+                hub_k=hub_k,
+                split_budget=split_budget,
+                partitions=partitions,
+                caches=caches,
+                mark=mark,
+                phase_metrics=phase_metrics,
+            )
+            if out is not None:
+                return out
+            # vertex ids overflow int64 edge keys: release the fused
+            # attempt and fall through to the relabel pipeline
+            for c in caches:
+                c.unpersist()
+            caches.clear()
+            prep = "relabel" if prep == "auto" else prep
+
     if strategy in ("wedge", "arrow", "vertex"):
         oriented, deg, key_base, clustered, stats = _prep(
             edges, prep, rank_method, partitions, caches
@@ -575,7 +895,7 @@ def triangle_count(
                 stats=stats,
             )
             mark("build_sec")
-            out = _finish(result, caches, spark)
+            out = _finish(result, caches, spark, phase_metrics)
             mark("exec_sec")
             return out
 
@@ -595,10 +915,8 @@ def triangle_count(
             if closure == "broadcast":
                 probe = _build_probe(spark, oriented, key_base, hub_k)
                 mark("build_sec")
-                per_part = paths.mapInPandas(_arrow_count_udf(probe), schema="tri long")
-                result = per_part.agg(
-                    F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles")
-                )
+                per_part = paths.mapInPandas(_arrow_count_udf(probe), schema=COUNT_SCHEMA)
+                result = _sum_counts(per_part)
             else:
                 mark("build_sec")
                 pairs = paths.mapInPandas(
@@ -611,7 +929,7 @@ def triangle_count(
                 result = canon.join(
                     _canonical(oriented), ["src", "dst"], "left_semi"
                 ).agg(F.count("*").alias("triangles"))
-            out = _finish(result, caches, spark)
+            out = _finish(result, caches, spark, phase_metrics)
             mark("exec_sec")
             return out
 
@@ -630,15 +948,15 @@ def triangle_count(
         if closure == "broadcast":
             probe = _build_probe(spark, oriented, key_base, 0)
             mark("build_sec")
-            per_part = rows.mapInPandas(_array_count_udf(probe), schema="tri long")
-            result = per_part.agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
+            per_part = rows.mapInPandas(_array_count_udf(probe), schema=COUNT_SCHEMA)
+            result = _sum_counts(per_part)
         else:
             mark("build_sec")
             pairs = rows.mapInPandas(_emit_pairs_array_udf(), schema="src long, dst long")
             result = pairs.join(_canonical(oriented), ["src", "dst"], "left_semi").agg(
                 F.count("*").alias("triangles")
             )
-        out = _finish(result, caches, spark)
+        out = _finish(result, caches, spark, phase_metrics)
         mark("exec_sec")
         return out
 
@@ -669,7 +987,7 @@ def triangle_count(
                 "left_semi",
             )
             result = tri.agg(F.count("*").alias("triangles"))
-        out = _finish(result, caches, spark)
+        out = _finish(result, caches, spark, phase_metrics)
         mark("exec_sec")
         return out
 
