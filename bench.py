@@ -106,13 +106,22 @@ def main() -> None:
 
     tri = timed("triangles_wedge", run_wedge)
     extra["triangles"] = tri
-    # per-query phase split (reference accounting, tc.cu:886-913):
-    # prep = symmetrize/orient, build = stats+probe copy, exec = count
+    # per-query phase split (reference accounting, tc.cu:886-913 and
+    # tc_cycles' get/evaluate split, experiments/tc_cycles.cu:1089-1137):
+    # prep = plan+gate, build = shuffle+probe copy, exec = count wall;
+    # enumerate/probe are CPU seconds summed across tasks
     extra["wedge_phases"] = phases
     timed("triangles_edge", lambda: triangle_count(e, strategy="edge").collect()[0][0])
-    timed(
-        "triangles_arrow", lambda: triangle_count(e, strategy="arrow").collect()[0][0]
-    )
+    arrow_phases: dict[str, float] = {}
+
+    def run_arrow():
+        arrow_phases.clear()
+        return triangle_count(e, strategy="arrow", phase_metrics=arrow_phases).collect()[
+            0
+        ][0]
+
+    timed("triangles_arrow", run_arrow)
+    extra["arrow_phases"] = arrow_phases
 
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degrees,

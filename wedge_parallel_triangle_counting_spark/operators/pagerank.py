@@ -9,12 +9,22 @@ plans/oracles.py):
 - r_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N)
   where dangling_k = Σ_{outdeg(u)=0} r_k(u). Total mass stays 1.
 
-Scale design: per-iteration cost is one shuffled join (ranks ⋈ edges
-on src) + one aggregation (groupBy dst) — both keyed the same way, so
-pre-partitioning `edges` by src and persisting lets every iteration
-reuse the same exchange on the static side. `localCheckpoint` every
-iteration stops the lineage/plan from growing with k (iterative
-lineage blowup, SURVEY §7.3).
+Scale design (r3, after profiling the 0.67 scaling efficiency):
+- ONE shuffle per iteration: contributions AND the per-vertex carry
+  rows (v, 0, outdeg) feed the SAME groupBy(v) aggregation, so the
+  old `outdeg ⋈ contribs` sort-merge join — a per-iteration
+  vertex-sized sort + AQE-sensitive exchange — is gone entirely. The
+  carry rows come from the cached outdeg table map-side (n extra rows
+  into an edge-sized shuffle: negligible for m >> n web graphs).
+- The static edge side is pre-partitioned with numPartitions =
+  spark.sql.shuffle.partitions (NOT defaultParallelism): the
+  aggregation output and the checkpointed state use the shuffle
+  partition count, so a mismatch re-exchanged the EDGE table every
+  iteration.
+- `localCheckpoint(eager=False)` truncates lineage without a
+  dedicated materialization job per iteration (the next action — the
+  dangling broadcast — materializes it; iterative lineage blowup,
+  SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -66,9 +76,17 @@ def pagerank(
     The source list is a query parameter (small), carried as a column
     in the iteration state — no per-iteration driver work."""
     spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
+    # align the static sides with the per-iteration aggregation output
+    # (spark.sql.shuffle.partitions) — a defaultParallelism mismatch
+    # re-exchanged the edge table every iteration
+    npart = int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
     e, outdeg = _prepare(edges)
-    # Static sides of the per-iteration join: partition once, reuse.
+    # Static sides of the per-iteration plan: partition once, reuse.
     e = e.repartition(npart, "src").persist()
     outdeg = outdeg.repartition(npart, "v").persist()
     n = outdeg.count()
@@ -125,29 +143,43 @@ def pagerank(
         dangling_df = ranks.filter(F.col("outdeg") == 0).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling")
         )
-        contribs = (
+        # contributions and the per-vertex carry rows (v, 0.0, outdeg)
+        # share ONE groupBy(v): the aggregate re-attaches outdeg (max
+        # over the single non-null carry) and guarantees every vertex a
+        # row — no outdeg join, no per-iteration vertex sort
+        contrib_rows = (
             e.join(ranks.filter(F.col("outdeg") > 0), e.src == F.col("v"))
-            .select(F.col("dst").alias("v"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("v"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+                F.lit(None).cast("long").alias("od"),
+            )
+        )
+        carry_rows = outdeg.select(
+            "v", F.lit(0.0).alias("c"), F.col("outdeg").alias("od")
+        )
+        agg = (
+            contrib_rows.unionByName(carry_rows)
             .groupBy("v")
-            .agg(F.sum("c").alias("contrib"))
+            .agg(F.sum("c").alias("contrib"), F.max("od").alias("outdeg"))
         )
         if s_col is None:
             pr_expr = F.lit(base) + F.lit(damping) * (
-                F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dangling") / n
+                F.col("contrib") + F.col("dangling") / n
             )
         else:
             pr_expr = F.lit(1.0 - damping) * s_col + F.lit(damping) * (
-                F.coalesce(F.col("contrib"), F.lit(0.0))
-                + F.col("dangling") * s_col
+                F.col("contrib") + F.col("dangling") * s_col
             )
         new_ranks = (
-            outdeg.join(contribs, "v", "left")
-            .crossJoin(F.broadcast(dangling_df))
+            agg.crossJoin(F.broadcast(dangling_df))
             .select("v", "outdeg", pr_expr.alias("pr"))
         )
-        # materialize (localCheckpoint) FIRST; the optional delta check
-        # then reads the checkpointed state instead of re-running the plan
-        new_ranks = loop.step(new_ranks, it)
+        # lazy checkpoint: lineage is truncated, materialization rides
+        # the next action (the following iteration's dangling broadcast,
+        # the delta check, or the caller's terminal action) — one fewer
+        # job per iteration
+        new_ranks = loop.step(new_ranks, it, eager=False)
         delta = None
         if tol is not None:
             delta = (
