@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def loop_partitions(spark: SparkSession) -> int:
+    """Partition count for an iterative loop's static (persisted)
+    sides. Must equal spark.sql.shuffle.partitions — per-iteration
+    aggregation outputs and checkpointed state use the shuffle count,
+    so a defaultParallelism mismatch re-exchanges the static edge table
+    every iteration (found while profiling PageRank scaling, r3)."""
+    return int(
+        spark.conf.get(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    )
+
+
 @dataclass
 class IterationMetrics:
     iteration: int

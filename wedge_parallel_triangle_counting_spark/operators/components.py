@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 # Below this many canonical edges, hashmin's fewer-shuffles-per-round
@@ -35,7 +35,7 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
     """Undirected pair set, canonical (large, small) per row — built
     DIRECTLY as a canonical dedup (one m-row shuffle; symmetrize+filter
     would shuffle 2m). Returned persisted; caller unpersists."""
-    npart = edges.sparkSession.sparkContext.defaultParallelism
+    npart = loop_partitions(edges.sparkSession)
     clean = normalize_edges(edges).filter(F.col("src") != F.col("dst"))
     return (
         clean.select(
@@ -91,12 +91,15 @@ def connected_components(
         metrics["canonical_edges"] = m
     if chosen == "hashmin":
         # reuse the canonical prep: e ∪ flip(e) is already clean and
-        # dedup'd, so the hashmin path skips its own symmetrize+dedup
+        # dedup'd, so the hashmin path skips its own symmetrize+dedup.
+        # Partitioned by DST — the per-round join key (sym.dst ==
+        # labels.v): clustering on src re-exchanged the edge table
+        # every round.
         sym = (
             e.unionByName(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .repartition(edges.sparkSession.sparkContext.defaultParallelism, "src")
+            .repartition(loop_partitions(edges.sparkSession), "dst")
             .persist()
         )
         out = _components_hashmin(
@@ -127,11 +130,12 @@ def _components_hashmin(
     partition_stats: bool,
 ) -> DataFrame:
     spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
+    npart = loop_partitions(spark)
     if prebuilt is not None:
         sym, sym_cnt = prebuilt
     else:
-        sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+        # dst is the per-round join key (see connected_components)
+        sym = symmetrize(normalize_edges(edges)).repartition(npart, "dst").persist()
         sym_cnt = None
     verts = sym.select(F.col("src").alias("v")).distinct()
 
@@ -175,9 +179,9 @@ def _components_hashmin(
                 ).alias("component"),
             )
         )
-        # materialize first, then check convergence on the checkpointed
-        # state (avoids running the iteration plan twice)
-        new_labels = loop.step(new_labels, it)
+        # lazy checkpoint: the convergence count below is the round's
+        # single action and materializes it (no dedicated job)
+        new_labels = loop.step(new_labels, it, eager=False)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "v")

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 
@@ -30,7 +30,7 @@ def k_core(
     """Vertices of the k-core with their within-core degree:
     (v, core_degree), core_degree >= k. Empty result if no k-core."""
     spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
+    npart = loop_partitions(spark)
     sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
     cur = sym
     prev_m = cur.count()

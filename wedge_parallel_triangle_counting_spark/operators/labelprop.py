@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 
@@ -33,8 +33,11 @@ def label_propagation(
 ) -> DataFrame:
     """Returns DataFrame [v: long, label: long]."""
     spark = edges.sparkSession
-    npart = spark.sparkContext.defaultParallelism
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    npart = loop_partitions(spark)
+    # partitioned by DST — the per-round join key (sym.dst == labels.v);
+    # aligned with the shuffle partition count so the checkpointed
+    # labels co-partition with it (zero join exchanges per round)
+    sym = symmetrize(normalize_edges(edges)).repartition(npart, "dst").persist()
     verts = sym.select(F.col("src").alias("v")).distinct()
 
     loop = CheckpointedLoop(
@@ -67,6 +70,11 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("v", "label")
         )
-        new_labels = loop.step(new_labels, it)
+        # lazy checkpoint: lineage truncated per round, materialization
+        # rides the next round's join (or the caller's terminal action)
+        new_labels = loop.step(new_labels, it, eager=False)
         labels = new_labels
+    # materialize the lazy checkpoint chain, then release the edge cache
+    labels.count()
+    sym.unpersist()
     return labels.select("v", "label")

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop
+from .checkpointing import CheckpointedLoop, loop_partitions
 
 
 def _prepare(edges: DataFrame):
@@ -79,18 +79,15 @@ def pagerank(
     # align the static sides with the per-iteration aggregation output
     # (spark.sql.shuffle.partitions) — a defaultParallelism mismatch
     # re-exchanged the edge table every iteration
-    npart = int(
-        spark.conf.get(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
-    )
+    npart = loop_partitions(spark)
     e, outdeg = _prepare(edges)
     # Static sides of the per-iteration plan: partition once, reuse.
     e = e.repartition(npart, "src").persist()
     outdeg = outdeg.repartition(npart, "v").persist()
     n = outdeg.count()
     if n == 0:
+        e.unpersist()
+        outdeg.unpersist()
         return spark.createDataFrame([], "v long, pr double")
 
     loop = CheckpointedLoop(
@@ -192,4 +189,10 @@ def pagerank(
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             break
+    # materialize the final (lazily checkpointed) state, then release
+    # the static sides — library callers must not accumulate cached
+    # blocks across queries (same contract as triangle_count)
+    ranks.count()
+    e.unpersist()
+    outdeg.unpersist()
     return ranks.select("v", "pr")
