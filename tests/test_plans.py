@@ -113,6 +113,76 @@ def test_wedge_range_partitioner_is_range_partitioning(spark):
         c.unpersist()
 
 
+def test_labelprop_round_never_exchanges_edge_table(spark):
+    """Iterative-loop shape (r3): with the symmetric edge table
+    clustered on the per-round join key (dst) and aligned to the
+    shuffle partition count, a steady-state round's plan must read the
+    edge cache with NO exchange — only the two vertex-sized exchanges
+    (vote agg + argmax window) remain. Broadcast is disabled to force
+    the at-scale SortMergeJoin plan."""
+    from pyspark.sql import Window
+
+    from wedge_parallel_triangle_counting_spark.operators.checkpointing import (
+        CheckpointedLoop,
+        loop_partitions,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        normalize_edges,
+        symmetrize,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            (F.col("l_orderkey") % 601).alias("src"),
+            (F.col("l_partkey") % 601).alias("dst"),
+        )
+        npart = loop_partitions(spark)
+        sym = symmetrize(normalize_edges(edges)).repartition(npart, "dst").persist()
+        loop = CheckpointedLoop(spark, "lp_plan", None, 5)
+        labels = sym.select(F.col("src").alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
+        )
+        w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
+        plan = None
+        for it in range(3):
+            votes = (
+                sym.join(labels, sym.dst == labels.v)
+                .select(F.col("src").alias("v"), "label")
+                .groupBy("v", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            new_labels = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("v", "label")
+            )
+            if it == 2:
+                new_labels.count()
+                plan = new_labels._jdf.queryExecution().executedPlan().toString()
+            labels = loop.step(new_labels, it, eager=False)
+        labels.count()
+        sym.unpersist()
+        # A rogue per-round re-exchange of the edge table would appear
+        # as a SINGLE-key ENSURE_REQUIREMENTS exchange on src/dst. The
+        # cache-build exchanges that the InMemoryRelation rendering
+        # embeds are REPARTITION_BY_NUM (the explicit clustering) or
+        # two-key (src, dst) (the dedup) — excluded by the pattern.
+        import re
+
+        final = plan.split("== Initial Plan ==")[0]
+        offending = re.findall(
+            r"Exchange hashpartitioning\((?:src|dst)#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+            final,
+        )
+        assert not offending, offending
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
 def test_relabel_broadcasts_small_dictionary(spark):
     from wedge_parallel_triangle_counting_spark.operators import graph as G
 
