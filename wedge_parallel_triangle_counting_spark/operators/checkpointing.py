@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +38,29 @@ def loop_partitions(spark: SparkSession) -> int:
             str(spark.sparkContext.defaultParallelism),
         )
     )
+
+
+@contextmanager
+def stable_loop_partitioning(spark: SparkSession):
+    """Disable AQE shuffle-partition coalescing for the duration of an
+    iterative loop.
+
+    Coalescing is right for one-shot queries; inside a loop it (a)
+    collapses the per-iteration vertex stages to fewer partitions than
+    cores — idling the larger cluster proportionally more, the opposite
+    of the N→4N scaling contract — and (b) drifts the checkpointed
+    state's partitioning away from the explicitly sized static sides,
+    re-introducing per-round exchanges the loop shape was built to
+    avoid. Session-scoped conf: restored on exit; loops are assumed not
+    to run concurrently with coalesce-sensitive queries in the same
+    session."""
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 @dataclass

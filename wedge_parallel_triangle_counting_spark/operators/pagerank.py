@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop, loop_partitions
+from .checkpointing import (
+    CheckpointedLoop,
+    loop_partitions,
+    stable_loop_partitioning,
+)
 
 
 def _prepare(edges: DataFrame):
@@ -134,6 +138,21 @@ def pagerank(
         ranks = outdeg.select("v", "outdeg", init.alias("pr"))
 
     base = (1.0 - damping) / n
+    # AQE partition coalescing is disabled for the loop body: it
+    # collapses vertex-stage parallelism below the core count and
+    # drifts the state partitioning off the static sides (see
+    # stable_loop_partitioning)
+    with stable_loop_partitioning(spark):
+        ranks = _iterate(
+            loop, e, outdeg, ranks, s_col, base, damping, n, start,
+            num_iters, tol,
+        )
+    e.unpersist()
+    outdeg.unpersist()
+    return ranks.select("v", "pr")
+
+
+def _iterate(loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol):
     for it in range(start, num_iters):
         # dangling mass as a 1-row aggregate cross-joined into the plan
         # — no separate driver action per iteration
@@ -189,10 +208,8 @@ def pagerank(
         ranks = new_ranks
         if tol is not None and delta is not None and delta < tol:
             break
-    # materialize the final (lazily checkpointed) state, then release
-    # the static sides — library callers must not accumulate cached
-    # blocks across queries (same contract as triangle_count)
+    # materialize the final (lazily checkpointed) state so the caller's
+    # actions never recompute the loop and the static caches can be
+    # released (same contract as triangle_count)
     ranks.count()
-    e.unpersist()
-    outdeg.unpersist()
-    return ranks.select("v", "pr")
+    return ranks
