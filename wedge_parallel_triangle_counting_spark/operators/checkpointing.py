@@ -19,7 +19,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,27 +39,15 @@ def loop_partitions(spark: SparkSession) -> int:
     )
 
 
-@contextmanager
-def stable_loop_partitioning(spark: SparkSession):
-    """Disable AQE shuffle-partition coalescing for the duration of an
-    iterative loop.
-
-    Coalescing is right for one-shot queries; inside a loop it (a)
-    collapses the per-iteration vertex stages to fewer partitions than
-    cores — idling the larger cluster proportionally more, the opposite
-    of the N→4N scaling contract — and (b) drifts the checkpointed
-    state's partitioning away from the explicitly sized static sides,
-    re-introducing per-round exchanges the loop shape was built to
-    avoid. Session-scoped conf: restored on exit; loops are assumed not
-    to run concurrently with coalesce-sensitive queries in the same
-    session."""
-    key = "spark.sql.adaptive.coalescePartitions.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+# NOTE on AQE partition coalescing inside loops: an r3 experiment
+# disabled it for every iterative loop on the theory that coalescing
+# collapses vertex-stage parallelism. Interleaved A/Bs refuted this in
+# BOTH regimes (local[32] small-state: consistently ~1.5x WORSE with
+# coalescing off — 32 tiny tasks × many stages × many rounds is pure
+# overhead; pinned 8-core amplified graph: no win either), because
+# spark.sql.adaptive.coalescePartitions.parallelismFirst (default true)
+# already prevents coalescing below the cluster's parallelism. Keep
+# coalescing ON; see BENCH/RUNS.md r3-b/r3-c.
 
 
 @dataclass

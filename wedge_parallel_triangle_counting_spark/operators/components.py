@@ -21,11 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import (
-    CheckpointedLoop,
-    loop_partitions,
-    stable_loop_partitioning,
-)
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 # Below this many canonical edges, hashmin's fewer-shuffles-per-round
@@ -166,38 +162,37 @@ def _components_hashmin(
     if labels is None:
         labels = verts.select("v", F.col("v").alias("component"))
 
-    with stable_loop_partitioning(spark):
-        for it in range(start, max_iters):
-            # min over self label and neighbor labels
-            nbr_min = (
-                sym.join(labels, sym.dst == labels.v)
-                .select(F.col("src").alias("v"), F.col("component").alias("c"))
-                .groupBy("v")
-                .agg(F.min("c").alias("nbr_min"))
+    for it in range(start, max_iters):
+        # min over self label and neighbor labels
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.v)
+            .select(F.col("src").alias("v"), F.col("component").alias("c"))
+            .groupBy("v")
+            .agg(F.min("c").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
             )
-            new_labels = (
-                labels.join(nbr_min, "v", "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("nbr_min"), F.col("component")),
-                    ).alias("component"),
-                )
-            )
-            # lazy checkpoint: the convergence count below is the
-            # round's single action and materializes it
-            new_labels = loop.step(new_labels, it, eager=False)
-            changed = (
-                new_labels.alias("a")
-                .join(labels.alias("b"), "v")
-                .filter(F.col("a.component") != F.col("b.component"))
-                .count()
-            )
-            loop.history[-1]["extra"]["changed"] = changed
-            labels = new_labels
-            if changed == 0:
-                break
+        )
+        # lazy checkpoint: the convergence count below is the round's
+        # single action and materializes it (no dedicated job)
+        new_labels = loop.step(new_labels, it, eager=False)
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "v")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .count()
+        )
+        loop.history[-1]["extra"]["changed"] = changed
+        labels = new_labels
+        if changed == 0:
+            break
     if loop.history:  # state is localCheckpointed — sym no longer needed
         sym.unpersist()
     return labels.select("v", "component")
@@ -229,8 +224,7 @@ def _components_star(
             cur, start = got
             prev_cnt = cur.count()
 
-    with stable_loop_partitioning(spark):
-        cur, prev_cnt = _star_rounds(loop, cur, prev_cnt, start, max_iters)
+    cur, prev_cnt = _star_rounds(loop, cur, prev_cnt, start, max_iters)
     # parent table: every vertex points to its component min (vertex
     # set from the persisted canonical edges — materialized via
     # localCheckpoint so `e` can be released before returning the

@@ -16,11 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import (
-    CheckpointedLoop,
-    loop_partitions,
-    stable_loop_partitioning,
-)
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 
@@ -43,22 +39,21 @@ def k_core(
         spark, f"kcore{k}", checkpoint_dir, checkpoint_every, fingerprint=fp
     )
 
-    with stable_loop_partitioning(spark):
-        for it in range(max_iters):
-            deg = cur.groupBy("src").agg(F.count("*").alias("d"))
-            keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("v"))
-            new_cur = (
-                cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
-                .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
-                .select("src", "dst")
-            )
-            new_cur = loop.step(new_cur, it, eager=False)
-            m = new_cur.count()  # materializes the lazy checkpoint
-            loop.history[-1]["extra"]["edges"] = m
-            cur = new_cur
-            if m == prev_m:
-                break
-            prev_m = m
+    for it in range(max_iters):
+        deg = cur.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select(F.col("src").alias("v"))
+        new_cur = (
+            cur.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        new_cur = loop.step(new_cur, it, eager=False)
+        m = new_cur.count()  # materializes the lazy checkpoint
+        loop.history[-1]["extra"]["edges"] = m
+        cur = new_cur
+        if m == prev_m:
+            break
+        prev_m = m
 
     out = cur.groupBy(F.col("src").alias("v")).agg(
         F.count("*").alias("core_degree")

@@ -19,11 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpointing import (
-    CheckpointedLoop,
-    loop_partitions,
-    stable_loop_partitioning,
-)
+from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import normalize_edges, symmetrize
 
 
@@ -62,25 +58,23 @@ def label_propagation(
         labels = verts.select("v", F.col("v").alias("label"))
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
-    with stable_loop_partitioning(spark):
-        for it in range(start, num_iters):
-            votes = (
-                sym.join(labels, sym.dst == labels.v)
-                .select(F.col("src").alias("v"), "label")
-                .groupBy("v", "label")
-                .agg(F.count("*").alias("cnt"))
-            )
-            new_labels = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("v", "label")
-            )
-            # lazy checkpoint: lineage truncated per round,
-            # materialization rides the next round's join (or the
-            # terminal count below)
-            new_labels = loop.step(new_labels, it, eager=False)
-            labels = new_labels
-        # materialize the lazy checkpoint chain, then release the cache
-        labels.count()
+    for it in range(start, num_iters):
+        votes = (
+            sym.join(labels, sym.dst == labels.v)
+            .select(F.col("src").alias("v"), "label")
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+        # lazy checkpoint: lineage truncated per round, materialization
+        # rides the next round's join (or the terminal count below)
+        new_labels = loop.step(new_labels, it, eager=False)
+        labels = new_labels
+    # materialize the lazy checkpoint chain, then release the edge cache
+    labels.count()
     sym.unpersist()
     return labels.select("v", "label")

@@ -32,11 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import (
-    CheckpointedLoop,
-    loop_partitions,
-    stable_loop_partitioning,
-)
+from .checkpointing import CheckpointedLoop, loop_partitions
 
 
 def _prepare(edges: DataFrame):
@@ -138,15 +134,9 @@ def pagerank(
         ranks = outdeg.select("v", "outdeg", init.alias("pr"))
 
     base = (1.0 - damping) / n
-    # AQE partition coalescing is disabled for the loop body: it
-    # collapses vertex-stage parallelism below the core count and
-    # drifts the state partitioning off the static sides (see
-    # stable_loop_partitioning)
-    with stable_loop_partitioning(spark):
-        ranks = _iterate(
-            loop, e, outdeg, ranks, s_col, base, damping, n, start,
-            num_iters, tol,
-        )
+    ranks = _iterate(
+        loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol
+    )
     e.unpersist()
     outdeg.unpersist()
     return ranks.select("v", "pr")
