@@ -64,6 +64,40 @@ def _q_wedge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedge_stats(testdata.derived_edges(spark, sf_dir))
 
 
+def _q_degrees_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as graph_degrees, computed over a bucketBy(src)
+    table — the pay-the-shuffle-once storage path (the aggregation over
+    the bucketed scan plans NO exchange; tests/test_plans.py asserts
+    it). Materialized eagerly so the scratch table can be dropped."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.sources.bucketed import (
+        drop_bucketed,
+        read_edges_bucketed,
+        write_edges_bucketed,
+    )
+
+    sym = symmetrize(normalize_edges(testdata.derived_edges(spark, sf_dir)))
+    tmp = tempfile.mkdtemp(prefix="bucketed_edges_")
+    table = "wp_bucketed_degrees_q"
+    try:
+        write_edges_bucketed(sym, table, num_buckets=16, path=tmp)
+        deg = (
+            read_edges_bucketed(spark, table)
+            .groupBy("src")
+            .agg(F.count("*").alias("degree"))
+            .select(F.col("src").alias("v"), "degree")
+        )
+        rows = deg.collect()
+        return spark.createDataFrame(rows, deg.schema)
+    finally:
+        drop_bucketed(spark, table)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degree_histogram,
@@ -362,6 +396,7 @@ def _q_streaming_triangles(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
+        "graph_degrees_bucketed": _q_degrees_bucketed,
         "graph_orient": _q_orient,
         "graph_wedge_stats": _q_wedge_stats,
         "graph_hub_topk": _q_hub_topk,
@@ -409,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
     tri = oracles.triangles_sql()
     return {
         "graph_degrees": oracles.degrees_sql(),
+        "graph_degrees_bucketed": oracles.degrees_sql(),
         "graph_orient": oracles.orient_sql(),
         "graph_wedge_stats": oracles.wedge_stats_sql(),
         "graph_hub_topk": oracles.hub_topk_sql(),

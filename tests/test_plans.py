@@ -183,6 +183,42 @@ def test_labelprop_round_never_exchanges_edge_table(spark):
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_edges_aggregate_without_exchange(spark, tmp_path):
+    """Bucketed storage is the pay-the-shuffle-once path: a src-keyed
+    aggregation over a bucketBy(src) table must plan NO shuffle
+    exchange — the scan's partitioning already satisfies the
+    distribution."""
+    from wedge_parallel_triangle_counting_spark.sources.bucketed import (
+        drop_bucketed,
+        read_edges_bucketed,
+        write_edges_bucketed,
+    )
+
+    edges = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        (F.col("l_orderkey") % 601).alias("src"),
+        (F.col("l_partkey") % 601).alias("dst"),
+    )
+    table = "bucketed_edges_plan_test"
+    write_edges_bucketed(edges, table, num_buckets=8, path=str(tmp_path / "be"))
+    try:
+        be = read_edges_bucketed(spark, table)
+        deg = be.groupBy("src").agg(F.count("*").alias("deg"))
+        deg.count()
+        plan = _plan(deg)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange hashpartitioning" not in final, final
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+        # same degrees as the unbucketed path
+        expected = sorted(
+            (r["src"], r["deg"])
+            for r in edges.groupBy("src").agg(F.count("*").alias("deg")).collect()
+        )
+        got = sorted((r["src"], r["deg"]) for r in deg.collect())
+        assert got == expected
+    finally:
+        drop_bucketed(spark, table)
+
+
 def test_relabel_broadcasts_small_dictionary(spark):
     from wedge_parallel_triangle_counting_spark.operators import graph as G
 
