@@ -242,6 +242,17 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 6
+
+
+def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.bfs import shortest_hops
+
+    return shortest_hops(
+        testdata.derived_pagerank_edges(spark, sf_dir), max_hops=BFS_MAX_HOPS
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -416,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
+        "graph_bfs_hops": _q_bfs_hops,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
@@ -481,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "labelprop": oracles.labelprop_sql(
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
+        ),
+        "graph_bfs_hops": oracles.bfs_hops_sql(
+            testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS
         ),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),

@@ -73,3 +73,31 @@ def test_adjacency_sorted(spark):
     for row in G.adjacency(oriented).collect():
         assert list(row.adj) == sorted(row.adj)
         assert row.deg == len(row.adj)
+
+
+def test_bfs_hops_chain_and_disconnected(spark):
+    from wedge_parallel_triangle_counting_spark.operators.bfs import shortest_hops
+
+    # chain 0-1-2-3 plus a disconnected pair 10-11; default source = min id
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    got = {r.v: r.hops for r in shortest_hops(edges_df(spark, pairs)).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_respects_max_hops_and_stops_early(spark):
+    from wedge_parallel_triangle_counting_spark.operators.bfs import shortest_hops
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = {r.v: r.hops for r in shortest_hops(edges_df(spark, pairs), max_hops=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+    # early frontier exhaustion: triangle fully reached after 1 hop
+    tri = {r.v: r.hops for r in shortest_hops(edges_df(spark, [(0, 1), (1, 2), (0, 2)]), max_hops=50).collect()}
+    assert tri == {0: 0, 1: 1, 2: 1}
+
+
+def test_bfs_hops_explicit_source(spark):
+    from wedge_parallel_triangle_counting_spark.operators.bfs import shortest_hops
+
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    got = {r.v: r.hops for r in shortest_hops(edges_df(spark, pairs), source=10).collect()}
+    assert got == {10: 0, 11: 1}

@@ -356,6 +356,31 @@ SELECT v, min(root) AS component FROM walk GROUP BY v
 """.strip()
 
 
+def bfs_hops_sql(raw_sql: str, max_hops: int = 10) -> str:
+    """BFS shortest hop counts from the minimum vertex id, depth-capped
+    recursive reachability: UNION dedups (v, d) states so the recursion
+    is finite, MIN(d) per vertex is the BFS distance. Independent of
+    the engine's frontier formulation."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+s AS (SELECT MIN(src) AS sv FROM sym),
+reach(v, d) AS (
+    SELECT sv, 0 FROM s
+    UNION
+    SELECT e.dst AS v, reach.d + 1
+    FROM reach JOIN sym e ON e.src = reach.v
+    WHERE reach.d < {max_hops}
+)
+SELECT v, CAST(MIN(d) AS BIGINT) AS hops FROM reach GROUP BY v
+""".strip()
+
+
 def labelprop_sql(raw_sql: str, num_iters: int) -> str:
     """Synchronous LPA with min-label tie-break, iterations unrolled."""
     ctes = [
