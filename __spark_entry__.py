@@ -218,6 +218,17 @@ def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr", 6).alias("pr"))
 
 
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pr = pagerank(
+        testdata.derived_weighted_edges(spark, sf_dir),
+        num_iters=PAGERANK_ITERS,
+        weight_col="w",
+    )
+    return pr.select("v", F.round("pr", 6).alias("pr"))
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default strategy is "auto": canonical-edge count picks hashmin
     # (small graphs, fewer shuffles/round) vs star (doubly-log rounds)
@@ -423,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_prediction": _q_link_prediction,
         "pagerank": _q_pagerank,
         "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
         "components": _q_components,
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
@@ -483,6 +495,9 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_pagerank_edges_sql(),
             PAGERANK_ITERS,
             sources=PPR_SOURCES,
+        ),
+        "pagerank_weighted": oracles.pagerank_sql(
+            testdata.derived_weighted_edges_sql(), PAGERANK_ITERS, weighted=True
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
         "components_hashmin": oracles.components_sql(

@@ -248,3 +248,47 @@ def test_pagerank_resume_refuses_different_sources(spark, tmp_path):
     other = edges_df(spark, pairs + [(77, 78)])
     with pytest.raises(ValueError, match="fingerprint"):
         pagerank(other, num_iters=4, checkpoint_dir=ckpt, resume=True)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    # weighted: link share = w / sum outgoing w; duplicate rows sum
+    rng = random.Random(33)
+    rows = [
+        (rng.randrange(25), rng.randrange(25), float(rng.randrange(1, 5)))
+        for _ in range(120)
+    ]
+    agg: dict = {}
+    for a, b, w in rows:
+        agg[(a, b)] = agg.get((a, b), 0.0) + w
+    verts = sorted({x for p in agg for x in p})
+    out = {v: 0.0 for v in verts}
+    for (a, _), w in agg.items():
+        out[a] += w
+    d, n = 0.85, len(verts)
+    pr = {v: 1.0 / n for v in verts}
+    for _ in range(6):
+        dangling = sum(pr[v] for v in verts if out[v] == 0.0)
+        contrib = {v: 0.0 for v in verts}
+        for (a, b), w in agg.items():
+            contrib[b] += pr[a] * w / out[a]
+        pr = {v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in verts}
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {
+        r.v: r.pr for r in pagerank(df, num_iters=6, weight_col="w").collect()
+    }
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_uniform_weights_match_unweighted(spark):
+    # equivalence holds on a duplicate-free edge set (weighted mode SUMS
+    # duplicate rows, unweighted dedups them)
+    pairs = sorted(set(_random_directed(29, 30, 100)))
+    df = edges_df(spark, pairs)
+    dfw = df.withColumn("w", df.src * 0 + 2.5)  # constant weight
+    a = {r.v: r.pr for r in pagerank(df, num_iters=5).collect()}
+    b = {r.v: r.pr for r in pagerank(dfw, num_iters=5, weight_col="w").collect()}
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-9

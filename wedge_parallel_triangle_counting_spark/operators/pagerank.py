@@ -35,10 +35,32 @@ from pyspark.sql import functions as F
 from .checkpointing import CheckpointedLoop, loop_partitions
 
 
-def _prepare(edges: DataFrame):
-    e = edges.select(
-        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    ).dropDuplicates(["src", "dst"])
+def _prepare(edges: DataFrame, weight_col: str | None, npart: int):
+    """(edge table, per-vertex out-mass), both persisted and clustered
+    for the loop. Unweighted: DISTINCT edges, out-mass = out-degree.
+    Weighted: duplicate (src, dst) rows SUM their weights, out-mass =
+    Σ outgoing weight (the host-graph n_links semantics).
+
+    ONE edge-sized exchange total: the explicit hash(src) clustering
+    goes in FIRST, so the dedup/weight-sum aggregation and the
+    out-mass aggregation both reuse it (same fusion as the triangle
+    prep, graph.prepare_oriented_fast), and — because the edge table
+    is persisted before anything derives from it — the dedup runs
+    once, not once per derived frame."""
+    cols = [
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    base = edges.select(*cols).repartition(npart, "src")
+    if weight_col is None:
+        e = base.dropDuplicates(["src", "dst"])
+        out_expr, zero = F.count("*"), F.lit(0)
+    else:
+        e = base.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        out_expr, zero = F.sum("w"), F.lit(0.0)
+    e = e.persist()
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -46,10 +68,13 @@ def _prepare(edges: DataFrame):
     )
     outdeg = (
         verts.join(
-            e.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("outdeg")),
+            e.groupBy(F.col("src").alias("v")).agg(out_expr.alias("outdeg")),
             "v",
             "left",
-        ).select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        )
+        .select("v", F.coalesce("outdeg", zero).alias("outdeg"))
+        .repartition(npart, "v")
+        .persist()
     )
     return e, outdeg
 
@@ -64,6 +89,7 @@ def pagerank(
     resume: bool = False,
     partition_stats: bool = False,
     sources: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Returns DataFrame [v: long, pr: double]. Runs `num_iters`
     iterations, or stops earlier when the L1 delta falls below `tol`
@@ -74,16 +100,20 @@ def pagerank(
     s(v) = 1/|S| for v ∈ S else 0, r_0 = s,
     r_{k+1}(v) = (1-d)·s(v) + d·(Σ_{u→v} r_k(u)/out(u) + dangling_k·s(v)).
     The source list is a query parameter (small), carried as a column
-    in the iteration state — no per-iteration driver work."""
+    in the iteration state — no per-iteration driver work.
+
+    `weight_col` switches to WEIGHTED PageRank: duplicate (src, dst)
+    rows sum their weights, and a link's share of pr(u) is
+    w(u,v) / Σ_x w(u,x) instead of 1/outdeg(u) — the natural semantics
+    for a host-graph rollup where the weight is the link count."""
     spark = edges.sparkSession
     # align the static sides with the per-iteration aggregation output
     # (spark.sql.shuffle.partitions) — a defaultParallelism mismatch
     # re-exchanged the edge table every iteration
     npart = loop_partitions(spark)
-    e, outdeg = _prepare(edges)
-    # Static sides of the per-iteration plan: partition once, reuse.
-    e = e.repartition(npart, "src").persist()
-    outdeg = outdeg.repartition(npart, "v").persist()
+    # Static sides of the per-iteration plan: partitioned once inside
+    # _prepare, reused every iteration.
+    e, outdeg = _prepare(edges, weight_col, npart)
     n = outdeg.count()
     if n == 0:
         e.unpersist()
@@ -109,6 +139,7 @@ def pagerank(
                 "sources": sorted(int(x) for x in sources)
                 if sources is not None
                 else None,
+                "weight_col": weight_col,
             }
             if checkpoint_dir
             else None
@@ -135,14 +166,18 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = _iterate(
-        loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol
+        loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol,
+        weighted=weight_col is not None,
     )
     e.unpersist()
     outdeg.unpersist()
     return ranks.select("v", "pr")
 
 
-def _iterate(loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol):
+def _iterate(
+    loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol,
+    weighted=False,
+):
     for it in range(start, num_iters):
         # dangling mass as a 1-row aggregate cross-joined into the plan
         # — no separate driver action per iteration
@@ -153,12 +188,18 @@ def _iterate(loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, 
         # share ONE groupBy(v): the aggregate re-attaches outdeg (max
         # over the single non-null carry) and guarantees every vertex a
         # row — no outdeg join, no per-iteration vertex sort
+        share = (
+            F.col("pr") * F.col("w") / F.col("outdeg")
+            if weighted
+            else F.col("pr") / F.col("outdeg")
+        )
+        od_type = "double" if weighted else "long"
         contrib_rows = (
             e.join(ranks.filter(F.col("outdeg") > 0), e.src == F.col("v"))
             .select(
                 F.col("dst").alias("v"),
-                (F.col("pr") / F.col("outdeg")).alias("c"),
-                F.lit(None).cast("long").alias("od"),
+                share.alias("c"),
+                F.lit(None).cast(od_type).alias("od"),
             )
         )
         carry_rows = outdeg.select(

@@ -266,16 +266,27 @@ def pagerank_sql(
     damping: float = 0.85,
     ndigits: int = 6,
     sources: list[int] | None = None,
+    weighted: bool = False,
 ) -> str:
     """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
     DuckDB's recursive CTEs can't aggregate over the recursive
     relation, so the power iteration is generated iteration by
     iteration. Semantics identical to operators/pagerank.py,
     including the personalized variant when `sources` is given
-    (teleport + dangling mass to the source set).
+    (teleport + dangling mass to the source set) and the weighted
+    variant when `weighted` (raw must carry `w`; duplicate (src, dst)
+    rows sum their weights, link share = w / Σ outgoing w).
     Output rounded to `ndigits` so Spark/DuckDB float noise doesn't
     break the driver's exact value-hash."""
     d = damping
+    if weighted:
+        e_cte = "e AS (SELECT src, dst, SUM(w) AS w FROM raw GROUP BY src, dst)"
+        od_sub = "SELECT src AS v, SUM(w) AS outdeg FROM e GROUP BY src"
+        share = "sum(p.pr * e.w / od.outdeg)"
+    else:
+        e_cte = "e AS (SELECT DISTINCT src, dst FROM raw)"
+        od_sub = "SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src"
+        share = "sum(p.pr / od.outdeg)"
     if sources is not None:
         srcs = ", ".join(str(int(x)) for x in sources)
         w = repr(1.0 / len(sources))
@@ -295,13 +306,13 @@ def pagerank_sql(
         )
     ctes = [
         f"raw AS ({raw_sql})",
-        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        e_cte,
         "vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vs)",
-        """od AS (
+        f"""od AS (
             SELECT vs.v, coalesce(o.outdeg, 0) AS outdeg
             FROM vs LEFT JOIN (
-                SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src
+                {od_sub}
             ) o ON o.v = vs.v
         )""",
         r0,
@@ -319,7 +330,7 @@ def pagerank_sql(
                 FROM {prev} p JOIN od ON od.v = p.v WHERE od.outdeg = 0
             ) dang
             LEFT JOIN (
-                SELECT e.dst AS v, sum(p.pr / od.outdeg) AS contrib
+                SELECT e.dst AS v, {share} AS contrib
                 FROM e
                 JOIN {prev} p ON p.v = e.src
                 JOIN od ON od.v = e.src

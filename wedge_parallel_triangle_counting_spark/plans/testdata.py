@@ -66,3 +66,22 @@ def derived_pagerank_edges_sql() -> str:
         f"SELECT o_custkey % {ITER_MODULUS} AS src, "
         f"o_orderkey % {ITER_MODULUS} AS dst FROM orders"
     )
+
+
+def derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted directed graph: the pagerank derivation plus a
+    deterministic positive weight (the host-graph n_links analogue)."""
+    df = load(spark, sf_dir, "orders")
+    return df.select(
+        (F.col("o_custkey") % ITER_MODULUS).alias("src"),
+        (F.col("o_orderkey") % ITER_MODULUS).alias("dst"),
+        ((F.col("o_orderkey") % 7) + 1).cast("double").alias("w"),
+    )
+
+
+def derived_weighted_edges_sql() -> str:
+    return (
+        f"SELECT o_custkey % {ITER_MODULUS} AS src, "
+        f"o_orderkey % {ITER_MODULUS} AS dst, "
+        "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w FROM orders"
+    )
