@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checkpointing import CheckpointedLoop, loop_partitions
-from .graph import normalize_edges, symmetrize
+from .graph import build_sym_clustered
 
 
 def shortest_hops(
@@ -37,7 +37,7 @@ def shortest_hops(
     and always present)."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    sym = build_sym_clustered(edges, npart, key="src").persist()
     if source is None:
         source = sym.agg(F.min("src")).collect()[0][0]
         if source is None:  # empty graph

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checkpointing import CheckpointedLoop, loop_partitions
-from .graph import normalize_edges, symmetrize
+from .graph import normalize_edges
 
 # Below this many canonical edges, hashmin's fewer-shuffles-per-round
 # beats star's fewer rounds (measured 2x at sf0.1: 5.0s vs 9.9s,
@@ -134,8 +134,11 @@ def _components_hashmin(
     if prebuilt is not None:
         sym, sym_cnt = prebuilt
     else:
-        # dst is the per-round join key (see connected_components)
-        sym = symmetrize(normalize_edges(edges)).repartition(npart, "dst").persist()
+        # dst is the per-round join key (see connected_components);
+        # build_sym_clustered does it in ONE edge exchange
+        from .graph import build_sym_clustered
+
+        sym = build_sym_clustered(edges, npart, key="dst").persist()
         sym_cnt = None
     verts = sym.select(F.col("src").alias("v")).distinct()
 

@@ -173,12 +173,15 @@ def prepare_oriented(
     return oriented, ranks, n
 
 
-def build_sym_clustered(edges: DataFrame, npart: int) -> DataFrame:
-    """Dirty edges → clean symmetric simple graph hash-clustered by src
-    on ONE edge-sized exchange: both directions come from a single scan
-    (explode stays in whole-stage codegen), and the dedup's final
-    aggregate reuses the hash(src) partitioning (ClusteredDistribution
-    (src, dst) is satisfied by it — no second exchange)."""
+def build_sym_clustered(edges: DataFrame, npart: int, key: str = "src") -> DataFrame:
+    """Dirty edges → clean symmetric simple graph hash-clustered by
+    `key` (src or dst) on ONE edge-sized exchange: both directions come
+    from a single scan (explode stays in whole-stage codegen), and the
+    dedup's final aggregate reuses the hash(key) partitioning
+    (ClusteredDistribution(src, dst) is satisfied by either single-key
+    clustering — no second exchange). Iterative loops pick `key` to be
+    their per-round join key so the loop starts co-located (plain
+    symmetrize + repartition costs TWO edge exchanges)."""
     clean = drop_self_loops(normalize_edges(edges))
     both = clean.select(
         F.explode(
@@ -187,7 +190,7 @@ def build_sym_clustered(edges: DataFrame, npart: int) -> DataFrame:
                 F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").repartition(npart, "src")
+    ).select("e.src", "e.dst").repartition(npart, key)
     return both.dropDuplicates(["src", "dst"])
 
 

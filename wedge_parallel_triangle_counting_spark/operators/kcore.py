@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checkpointing import CheckpointedLoop, loop_partitions
-from .graph import normalize_edges, symmetrize
+from .graph import build_sym_clustered
 
 
 def k_core(
@@ -31,7 +31,7 @@ def k_core(
     (v, core_degree), core_degree >= k. Empty result if no k-core."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    sym = build_sym_clustered(edges, npart, key="src").persist()
     cur = sym
     prev_m = cur.count()
     fp = {"sym_edges": prev_m, "k": k} if checkpoint_dir else None

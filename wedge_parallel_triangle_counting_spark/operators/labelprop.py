@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpointing import CheckpointedLoop, loop_partitions
-from .graph import normalize_edges, symmetrize
+from .graph import build_sym_clustered
 
 
 def label_propagation(
@@ -34,10 +34,10 @@ def label_propagation(
     """Returns DataFrame [v: long, label: long]."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
-    # partitioned by DST — the per-round join key (sym.dst == labels.v);
-    # aligned with the shuffle partition count so the checkpointed
-    # labels co-partition with it (zero join exchanges per round)
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "dst").persist()
+    # clustered on DST — the per-round join key (sym.dst == labels.v) —
+    # in ONE edge exchange; aligned with the shuffle partition count so
+    # the checkpointed labels co-partition with it
+    sym = build_sym_clustered(edges, npart, key="dst").persist()
     verts = sym.select(F.col("src").alias("v")).distinct()
 
     loop = CheckpointedLoop(
