@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .graph import normalize_edges, symmetrize
+from .graph import build_sym_clustered
 
 
 def wedge_candidates(
@@ -107,7 +107,8 @@ def common_neighbor_pairs(
     from acting as wedge centers (see module docstring)."""
     spark = edges.sparkSession
     npart = spark.sparkContext.defaultParallelism
-    sym = symmetrize(normalize_edges(edges)).repartition(npart, "src").persist()
+    # one-exchange symmetrize clustered on the wedge-center key
+    sym = build_sym_clustered(edges, npart, key="src").persist()
     try:
         pairs = wedge_candidates(
             sym, max_degree=max_degree, hub_min_deg=hub_min_deg, hub_splits=hub_splits
