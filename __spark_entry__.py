@@ -195,6 +195,43 @@ def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_graph(extract_links(doc_pages_hosted(spark, sf_dir)))
 
 
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-analytics composition: pages → links → host-graph
+    rollup → host id dictionary → WEIGHTED PageRank (weight = link
+    count) → ranks joined back to host names."""
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.ids import (
+        assign_contiguous_ids,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        extract_links,
+        host_graph,
+    )
+
+    hg = host_graph(extract_links(doc_pages_hosted(spark, sf_dir))).persist()
+    hosts = (
+        hg.select(F.col("src_host").alias("host"))
+        .unionByName(hg.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    ids = assign_contiguous_ids(hosts, ["host"], id_col="id").persist()
+    e = (
+        hg.join(ids.select(F.col("host").alias("src_host"), F.col("id").alias("src")), "src_host")
+        .join(ids.select(F.col("host").alias("dst_host"), F.col("id").alias("dst")), "dst_host")
+        .select("src", "dst", F.col("n_links").cast("double").alias("w"))
+    )
+    pr = pagerank(e, num_iters=PAGERANK_ITERS, weight_col="w")
+    out = pr.join(ids, pr.v == ids.id).select(
+        "host", F.round("pr", 6).alias("pr")
+    )
+    rows = out.collect()
+    hg.unpersist()
+    ids.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -444,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
         "ingest_host_graph": _q_host_graph,
+        "ingest_host_pagerank": _q_host_pagerank,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_minhash_lsh": _q_minhash_lsh,
@@ -516,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),
         "ingest_host_graph": oracles.host_graph_sql(),
+        "ingest_host_pagerank": oracles.host_pagerank_sql(PAGERANK_ITERS),
         "dedup_exact": oracles.dedup_exact_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),

@@ -465,6 +465,27 @@ JOIN dict dd ON dd.url = links.dst_url
     )
 
 
+def host_pagerank_sql(num_iters: int, ndigits: int = 6) -> str:
+    """End-to-end composition oracle: pages → link extraction →
+    host-graph rollup → host→id dictionary → WEIGHTED PageRank
+    (weight = n_links) → join ranks back to host names. The host id
+    assignment mirrors assign_contiguous_ids (row_number ordered by
+    host, 0-based), the same contract the ingest_dictionary oracle
+    checks."""
+    hg = host_graph_sql()
+    raw = f"""WITH hg AS ({hg}),
+hosts AS (SELECT src_host AS host FROM hg UNION SELECT dst_host AS host FROM hg),
+ids AS (SELECT host, CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS id FROM hosts)
+SELECT s.id AS src, d.id AS dst, CAST(hg.n_links AS DOUBLE) AS w
+FROM hg JOIN ids s ON hg.src_host = s.host JOIN ids d ON hg.dst_host = d.host"""
+    pr = pagerank_sql(raw, num_iters, weighted=True, ndigits=ndigits)
+    return f"""WITH hgx AS ({hg}),
+hostsx AS (SELECT src_host AS host FROM hgx UNION SELECT dst_host AS host FROM hgx),
+idsx AS (SELECT host, CAST(row_number() OVER (ORDER BY host) - 1 AS BIGINT) AS id FROM hostsx),
+prx AS ({pr})
+SELECT idsx.host AS host, prx.pr AS pr FROM prx JOIN idsx ON idsx.id = prx.v"""
+
+
 # -- training-data pipeline oracles (documents table) --------------------
 
 _NUM_HASHES = 16
