@@ -369,6 +369,20 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    return stratified_sample(_docs(spark, sf_dir))
+
+
+def _q_corpus_stats(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import corpus_stats
+
+    return corpus_stats(_docs(spark, sf_dir))
+
+
 def _q_fingerprint(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import fingerprint
 
@@ -492,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_sample_stratified": _q_stratified_sample,
+        "text_corpus_stats": _q_corpus_stats,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
@@ -567,6 +583,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_score_sql(),
         "text_fingerprint": oracles.fingerprint_sql(),
+        "text_sample_stratified": oracles.stratified_sample_sql(),
+        "text_corpus_stats": oracles.corpus_stats_sql(),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),
         "ann_random_plane_lsh": oracles.random_plane_lsh_sql(),

@@ -141,3 +141,41 @@ def test_ngram_jaccard_no_cached_blocks_leak(spark):
     for c in caches:
         c.unpersist()
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_stratified_sample_deterministic_and_partitioning_independent(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r.doc_id for r in stratified_sample(docs, 30).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(docs.repartition(17), 30).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0  # identical sample under any partitioning
+    # monotone in the percentage: a 30% sample contains the 10% sample
+    c = set(r.doc_id for r in stratified_sample(docs, 10).select("doc_id").collect())
+    assert c <= set(a)
+
+
+def test_corpus_stats_totals_match_per_doc_sums(spark):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        corpus_stats,
+        token_count,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.lang: r for r in corpus_stats(docs).collect()}
+    per_doc = (
+        token_count(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t"), F.count("*").alias("n"))
+    )
+    for r in per_doc.collect():
+        assert got[r.lang].total_tokens == r.t
+        assert got[r.lang].n_docs == r.n

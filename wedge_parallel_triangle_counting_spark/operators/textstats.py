@@ -84,6 +84,55 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    per_stratum_pct: int = 20,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-threshold sampling per stratum: keep a doc
+    when md5(stratum || ':' || doc_id) mod 100 < per_stratum_pct.
+
+    The standard training-data downsampling shape at 100 TB: a pure
+    column predicate — no shuffle, no RNG state, fully pushed into the
+    scan stage, identical sample at any parallelism and on re-runs
+    (unlike DataFrame.sample, whose result is partitioning-dependent).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(h % 100 < per_stratum_pct)
+
+
+def corpus_stats(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language corpus rollup: (lang, n_docs, total_tokens,
+    avg_tokens, total_chars) — the dataset-card numbers. One map-side-
+    combined aggregation whose output cardinality is #languages."""
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    chars = F.length(F.col(text_col)).cast("long")
+    return (
+        docs.select(F.col(stratum_col).alias("lang"), toks.alias("t"), chars.alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+            F.round(F.avg("t"), 6).alias("avg_tokens"),
+            F.sum("c").alias("total_chars"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — md5 of the normalized text (lowercase, strip
     non-alphanumeric, collapse runs of spaces). Stable under

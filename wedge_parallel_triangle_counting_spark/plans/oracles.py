@@ -617,6 +617,27 @@ FROM documents
 """.strip()
 
 
+def stratified_sample_sql(pct: int = 20) -> str:
+    """Deterministic hash-threshold sample per language stratum —
+    md5-derived, the same integer parse both engines agree on."""
+    return f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {pct}
+""".strip()
+
+
+def corpus_stats_sql() -> str:
+    return r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS total_tokens,
+       round(avg(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)), 6) AS avg_tokens,
+       sum(CAST(length(text) AS BIGINT)) AS total_chars
+FROM documents
+GROUP BY lang
+""".strip()
+
+
 def lang_id_sql() -> str:
     from ..operators.textstats import LANG_ORDER, STOPWORDS
 
