@@ -39,6 +39,29 @@ def loop_partitions(spark: SparkSession) -> int:
     )
 
 
+# A label-propagation/HashMin round reads the edge table by one
+# endpoint (the join) and writes by the other (the aggregation), so the
+# optimal static clustering is REGIME-DEPENDENT:
+# - small state (vertex table fits a per-round broadcast): cluster by
+#   the AGGREGATION key (src) and broadcast the state — the broadcast
+#   join preserves the clustering, the vote aggregation and the argmax
+#   window reuse it, and the round runs with ZERO edge-sized exchanges;
+# - big state: cluster by the JOIN key (dst) — the shuffle join is then
+#   co-partitioned with the checkpointed state and only the inherent
+#   aggregation exchange remains (one per round).
+# The input row count bounds the vertex count (n ≤ 2·rows), giving a
+# cheap gate with the same ceiling as graph.RELABEL_BROADCAST_MAX.
+LOOP_BROADCAST_INPUT_MAX = 2_500_000
+
+
+def loop_layout(edges) -> tuple[str, bool]:
+    """(clustering key for the symmetric edge table, broadcast the
+    per-round state?) — see the regime note above. The count is
+    metadata-fast for file-backed inputs."""
+    small = edges.count() <= LOOP_BROADCAST_INPUT_MAX
+    return ("src" if small else "dst", small)
+
+
 # NOTE on AQE partition coalescing inside loops: an r3 experiment
 # disabled it for every iterative loop on the theory that coalescing
 # collapses vertex-stage parallelism. Interleaved A/Bs refuted this in

@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop, loop_partitions
+from .checkpointing import (
+    LOOP_BROADCAST_INPUT_MAX,
+    CheckpointedLoop,
+    loop_partitions,
+)
 from .graph import normalize_edges
 
 # Below this many canonical edges, hashmin's fewer-shuffles-per-round
@@ -92,19 +96,24 @@ def connected_components(
     if chosen == "hashmin":
         # reuse the canonical prep: e ∪ flip(e) is already clean and
         # dedup'd, so the hashmin path skips its own symmetrize+dedup.
-        # Partitioned by DST — the per-round join key (sym.dst ==
-        # labels.v): clustering on src re-exchanged the edge table
-        # every round.
+        # Regime-adaptive clustering (checkpointing.loop_layout logic,
+        # with the exact canonical count in hand): small state →
+        # cluster by src + broadcast labels (zero edge exchanges per
+        # round), big → cluster by dst, the join key.
+        bcast_state = 2 * m <= LOOP_BROADCAST_INPUT_MAX
         sym = (
             e.unionByName(
                 e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
             )
-            .repartition(loop_partitions(edges.sparkSession), "dst")
+            .repartition(
+                loop_partitions(edges.sparkSession),
+                "src" if bcast_state else "dst",
+            )
             .persist()
         )
         out = _components_hashmin(
             edges,
-            (sym, 2 * m),
+            (sym, 2 * m, bcast_state),
             max_iters,
             checkpoint_dir,
             checkpoint_every,
@@ -122,7 +131,7 @@ def connected_components(
 
 def _components_hashmin(
     edges: DataFrame,
-    prebuilt: tuple[DataFrame, int] | None,
+    prebuilt: tuple[DataFrame, int, bool] | None,
     max_iters: int,
     checkpoint_dir: str | None,
     checkpoint_every: int,
@@ -132,13 +141,14 @@ def _components_hashmin(
     spark = edges.sparkSession
     npart = loop_partitions(spark)
     if prebuilt is not None:
-        sym, sym_cnt = prebuilt
+        sym, sym_cnt, bcast_state = prebuilt
     else:
-        # dst is the per-round join key (see connected_components);
-        # build_sym_clustered does it in ONE edge exchange
+        # regime-adaptive layout; ONE edge exchange either way
+        from .checkpointing import loop_layout
         from .graph import build_sym_clustered
 
-        sym = build_sym_clustered(edges, npart, key="dst").persist()
+        key, bcast_state = loop_layout(edges)
+        sym = build_sym_clustered(edges, npart, key=key).persist()
         sym_cnt = None
     verts = sym.select(F.col("src").alias("v")).distinct()
 
@@ -167,8 +177,9 @@ def _components_hashmin(
 
     for it in range(start, max_iters):
         # min over self label and neighbor labels
+        rhs = F.broadcast(labels) if bcast_state else labels
         nbr_min = (
-            sym.join(labels, sym.dst == labels.v)
+            sym.join(rhs, sym.dst == rhs.v)
             .select(F.col("src").alias("v"), F.col("component").alias("c"))
             .groupBy("v")
             .agg(F.min("c").alias("nbr_min"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop, loop_partitions
+from .checkpointing import CheckpointedLoop, loop_layout, loop_partitions
 from .graph import build_sym_clustered
 
 
@@ -34,10 +34,12 @@ def label_propagation(
     """Returns DataFrame [v: long, label: long]."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
-    # clustered on DST — the per-round join key (sym.dst == labels.v) —
-    # in ONE edge exchange; aligned with the shuffle partition count so
-    # the checkpointed labels co-partition with it
-    sym = build_sym_clustered(edges, npart, key="dst").persist()
+    # regime-adaptive layout (checkpointing.loop_layout): small state →
+    # cluster by src + broadcast the labels each round (zero edge
+    # exchanges per round); big state → cluster by dst, the join key,
+    # so the shuffle join co-partitions with the checkpointed labels
+    key, bcast_state = loop_layout(edges)
+    sym = build_sym_clustered(edges, npart, key=key).persist()
     verts = sym.select(F.col("src").alias("v")).distinct()
 
     loop = CheckpointedLoop(
@@ -59,8 +61,9 @@ def label_propagation(
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), F.asc("label"))
     for it in range(start, num_iters):
+        rhs = F.broadcast(labels) if bcast_state else labels
         votes = (
-            sym.join(labels, sym.dst == labels.v)
+            sym.join(rhs, sym.dst == rhs.v)
             .select(F.col("src").alias("v"), "label")
             .groupBy("v", "label")
             .agg(F.count("*").alias("cnt"))
