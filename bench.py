@@ -78,12 +78,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def timed(name, fn, repeats=2):
+    def timed(name, fn, repeats=3):
         # best-of-k INCLUDING the first run (the suite-level warm-up
         # above — range agg, edge scan, mapInPandas — is the discarded
         # "run 0" of the reference protocol, tc.cu:894-913): this
         # box's vCPUs are oversubscribed and host load injects
-        # multi-second noise into single runs, so min-of-k it is
+        # multi-second noise into single runs (±2x across windows,
+        # BENCH/RUNS.md), so min-of-3 it is
         best = None
         out = None
         for _ in range(repeats):
