@@ -91,8 +91,10 @@ def _q_degrees_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("degree"))
             .select(F.col("src").alias("v"), "degree")
         )
-        rows = deg.collect()
-        return spark.createDataFrame(rows, deg.schema)
+        # localCheckpoint, not collect: materializes the result on the
+        # executors before the scratch table is dropped, without ever
+        # pulling the (unbounded at scale) vertex table to the driver
+        return deg.localCheckpoint(eager=True)
     finally:
         drop_bucketed(spark, table)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -226,10 +228,13 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pr.join(ids, pr.v == ids.id).select(
         "host", F.round("pr", 6).alias("pr")
     )
-    rows = out.collect()
+    # eager localCheckpoint: pins the (bounded-by-#hosts, but still
+    # distributed) result before the inputs are unpersisted — no
+    # driver-side materialization
+    out = out.localCheckpoint(eager=True)
     hg.unpersist()
     ids.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

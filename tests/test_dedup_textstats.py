@@ -179,3 +179,7 @@ def test_corpus_stats_totals_match_per_doc_sums(spark):
     for r in per_doc.collect():
         assert got[r.lang].total_tokens == r.t
         assert got[r.lang].n_docs == r.n
+        # avg_utokens is exact floor(total*1e6/n) as a bigint — no
+        # double anywhere in the column (hash-stable across engines)
+        assert got[r.lang].avg_utokens == (r.t * 1_000_000) // r.n
+        assert isinstance(got[r.lang].avg_utokens, int)

@@ -82,6 +82,37 @@ def test_write_degree_profile(spark, tmp_path):
     assert rows == [(0, 3), (1, 3), (2, 3), (3, 3)]
 
 
+def test_write_degree_profile_oneify(spark, tmp_path):
+    # S5 oneify option (reference print_degrees(..., oneify),
+    # tc.cu:795-814): the profile is the ORIENTED out-degree — each
+    # undirected edge counted once at its lower-ranked endpoint — and
+    # zero-out-degree vertices still appear. On K4 with id-order
+    # orientation the out-degrees are 3, 2, 1, 0.
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        degrees,
+        orient,
+        symmetrize,
+    )
+    from wedge_parallel_triangle_counting_spark.sources.sinks import (
+        write_degree_profile,
+    )
+
+    from .conftest import K4, edges_df
+
+    sym = symmetrize(edges_df(spark, K4))
+    deg = degrees(sym)
+    oriented = orient(sym)  # K4 ids are already degree-tied → id order
+    out = tmp_path / "profile_oneify"
+    write_degree_profile(deg, str(out), num=100, oneify=True, oriented=oriented)
+    rows = sorted(
+        (int(r.value.split(",")[0]), int(r.value.split(",")[1]))
+        for r in spark.read.text(str(out)).collect()
+    )
+    assert rows == [(0, 3), (1, 2), (2, 1), (3, 0)]
+    # the oneify profile sums to m (each edge once), not 2m
+    assert sum(d for _, d in rows) == len(K4)
+
+
 def test_degree_distribution_report(spark):
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degrees,

@@ -209,7 +209,9 @@ def test_phase_metrics_enumerate_probe_split(spark):
             strategy,
             phases,
         )
-        assert phases["enumerate_cpu_sec"] >= 0 and phases["probe_cpu_sec"] > 0
+        # >= 0, not > 0: on fast hardware a 50-vertex probe is sub-µs
+        # and legitimately measures 0 (ADVICE r3 flake fix)
+        assert phases["enumerate_cpu_sec"] >= 0 and phases["probe_cpu_sec"] >= 0
 
 
 def test_hub_routing_never_collects_id_lists():

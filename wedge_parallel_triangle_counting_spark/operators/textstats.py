@@ -98,9 +98,15 @@ def stratified_sample(
     scan stage, identical sample at any parallelism and on re-runs
     (unlike DataFrame.sample, whose result is partitioning-dependent).
     """
+    # coalesce a NULL stratum to a sentinel rather than letting concat
+    # semantics decide its fate: concat_ws would silently hash on the
+    # id alone (Spark) while `||` would drop every NULL-stratum row
+    # (SQL) — with the sentinel both engines sample NULL-stratum docs
+    # as one ordinary stratum
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit("<null>"))
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
+            F.md5(F.concat_ws(":", stratum, F.col(id_col).cast("string"))),
             1,
             8,
         ),
@@ -117,8 +123,15 @@ def corpus_stats(
     text_col: str = "text",
 ) -> DataFrame:
     """Per-language corpus rollup: (lang, n_docs, total_tokens,
-    avg_tokens, total_chars) — the dataset-card numbers. One map-side-
-    combined aggregation whose output cardinality is #languages."""
+    avg_utokens, total_chars) — the dataset-card numbers. One map-side-
+    combined aggregation whose output cardinality is #languages.
+
+    `avg_utokens` is the mean token count in integer MICRO-tokens
+    (floor(avg * 1e6) as bigint), derived from the integer aggregates
+    with split div/mod arithmetic so it is exact, representation-stable
+    across engines (no double rounding), and overflow-safe: the largest
+    intermediate is (total_tokens % n_docs) * 1e6 < n_docs * 1e6, fine
+    for any corpus under ~9e12 documents per language."""
     toks = F.size(_tokens(F.col(text_col))).cast("long")
     chars = F.length(F.col(text_col)).cast("long")
     return (
@@ -127,8 +140,17 @@ def corpus_stats(
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("t").alias("total_tokens"),
-            F.round(F.avg("t"), 6).alias("avg_tokens"),
             F.sum("c").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "(total_tokens DIV n_docs) * 1000000"
+                " + ((total_tokens % n_docs) * 1000000) DIV n_docs"
+            ).alias("avg_utokens"),
+            "total_chars",
         )
     )
 

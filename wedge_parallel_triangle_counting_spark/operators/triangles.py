@@ -444,32 +444,61 @@ def _hub_chunk_rows(
 ):
     """Hub-lane chunk rows (v, adj, deg, i_lo, i_hi) built driver-side
     from the collected oriented arrays (no Spark jobs — the fused
-    analogue of adjacency()+_split_chunks). Returns (rows, None) or
-    (None, est_elems) when materializing them would exceed
-    HUB_DRIVER_CHUNK_ELEMS."""
+    analogue of adjacency()+_split_chunks). Returns (pa.Table, None),
+    (None, None) when there is no hub work, or (None, est_elems) when
+    materializing the rows would exceed HUB_DRIVER_CHUNK_ELEMS.
+
+    Fully vectorized (numpy repeat/cumsum) and shipped as an Arrow
+    table: at the 50M-element cap the old per-hub Python loop built
+    several GB of boxed ints and paid pickling on top (ADVICE r3) —
+    the Arrow path materializes exactly the ~8 B/element it budgets
+    for and enters Spark through zero-copy createDataFrame."""
+    import pyarrow as pa
+
     hmask = hub_flag[pos_o]
     hs, hd = src_o[hmask], dst_o[hmask]
     if len(hs) == 0:
-        return [], None
+        return None, None
     order = np.lexsort((hd, hs))
     hs, hd = hs[order], hd[order]
     starts, degs = _runs(hs)
+    keep = degs >= 2  # a 1-edge hub spawns no wedges
+    starts, degs = starts[keep], degs[keep]
+    if len(starts) == 0:
+        return None, None
     widths = np.maximum(1, split_budget // degs)
     n_chunks = (degs - 2) // widths + 1  # len(range(0, deg-1, c))
     est = int((n_chunks * degs).sum())
     if est > HUB_DRIVER_CHUNK_ELEMS:
         return None, est
-    rows = []
-    for k in range(len(starts)):
-        d = int(degs[k])
-        if d < 2:
-            continue
-        v = int(hs[starts[k]])
-        c = int(widths[k])
-        adj = hd[starts[k] : starts[k] + d].tolist()
-        for lo_i in range(0, d - 1, c):
-            rows.append((v, adj, d, lo_i, min(lo_i + c, d - 1)))
-    return rows, None
+    # one row per chunk: map each chunk to its hub, then its (lo, hi)
+    # window from the chunk's ordinal within the hub
+    hub_of = np.repeat(np.arange(len(starts)), n_chunks)
+    first = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    within = np.arange(len(hub_of), dtype=np.int64) - first
+    lo = within * widths[hub_of]
+    hi = np.minimum(lo + widths[hub_of], degs[hub_of] - 1)
+    # adjacency values: every chunk row carries its hub's full sorted
+    # adjacency — the same duplication the distributed _split_chunks
+    # explode pays in shuffle volume
+    d_of = degs[hub_of]
+    val_first = np.repeat(np.cumsum(d_of) - d_of, d_of)
+    val_pos = np.arange(int(d_of.sum()), dtype=np.int64) - val_first
+    values = hd[np.repeat(starts[hub_of], d_of) + val_pos]
+    offsets = np.concatenate(([0], np.cumsum(d_of)))
+    adj = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64())
+    )
+    table = pa.table(
+        {
+            "v": pa.array(hs[starts][hub_of], type=pa.int64()),
+            "adj": adj,
+            "deg": pa.array(d_of, type=pa.int64()),
+            "i_lo": pa.array(lo, type=pa.int64()),
+            "i_hi": pa.array(hi, type=pa.int64()),
+        }
+    )
+    return table, None
 
 
 def _wedge_fused(
@@ -515,7 +544,10 @@ def _wedge_fused(
     if m == 0:
         mark("build_sec")
         out = _finish(
-            spark.createDataFrame([(0, 0.0, 0.0)], COUNT_SCHEMA), caches, spark
+            spark.createDataFrame([(0, 0.0, 0.0)], COUNT_SCHEMA),
+            caches,
+            spark,
+            phase_metrics,
         )
         mark("exec_sec")
         return out
@@ -543,10 +575,11 @@ def _wedge_fused(
     )
     probe = _Probe(sc.broadcast(edge_keys), key_base, hub_bc, hub_ids)
 
-    hub_rows: list | None = []
+    hub_tbl = None
+    est = None
     if bool(hub_flag.any()):
-        hub_rows, est = _hub_chunk_rows(src_o, dst_o, pos_o, hub_flag, split_budget)
-        if hub_rows is None:
+        hub_tbl, est = _hub_chunk_rows(src_o, dst_o, pos_o, hub_flag, split_budget)
+        if hub_tbl is None and est is not None:
             # pathological hub mass: keep the fully distributed hub
             # machinery (join routing + explode splitting + wedge_range
             # balance), reusing the probe and stats already in hand
@@ -577,10 +610,10 @@ def _wedge_fused(
 
     flat = sym.sortWithinPartitions("src", "dst")
     counts = flat.mapInPandas(_flat_count_sym_udf(probe, lookup_bc), schema=COUNT_SCHEMA)
-    if hub_rows:
-        hub_df = spark.createDataFrame(
-            hub_rows, "v long, adj array<long>, deg long, i_lo long, i_hi long"
-        ).repartition(npart, "v", "i_lo")
+    if hub_tbl is not None:
+        # Arrow table → DataFrame is zero-copy on the driver side
+        # (no Python row boxing / pickling; ADVICE r3)
+        hub_df = spark.createDataFrame(hub_tbl).repartition(npart, "v", "i_lo")
         counts = counts.unionByName(
             hub_df.mapInPandas(_array_count_udf(probe), schema=COUNT_SCHEMA)
         )
@@ -794,8 +827,11 @@ def _finish(
     row = result.collect()[0]
     val = int(row[0])
     if phase_metrics is not None and "enum_sec" in row.__fields__:
-        phase_metrics["enumerate_cpu_sec"] = round(float(row["enum_sec"]), 4)
-        phase_metrics["probe_cpu_sec"] = round(float(row["probe_sec"]), 4)
+        # 6 decimals: a sub-50µs probe on a tiny graph must not round
+        # to 0.0 (ADVICE r3: the 4-decimal round made the phase-split
+        # test flake on fast hardware)
+        phase_metrics["enumerate_cpu_sec"] = round(float(row["enum_sec"]), 6)
+        phase_metrics["probe_cpu_sec"] = round(float(row["probe_sec"]), 6)
     for c in caches:
         try:
             c.unpersist()

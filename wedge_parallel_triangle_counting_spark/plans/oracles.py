@@ -382,7 +382,10 @@ sym AS (
 ),
 s AS (SELECT MIN(src) AS sv FROM sym),
 reach(v, d) AS (
-    SELECT sv, 0 FROM s
+    -- guard the seed: on a degenerate graph (all self-loops) sym is
+    -- empty and MIN(src) is NULL — the engine returns an empty frame,
+    -- so the oracle must not emit a (NULL, 0) row
+    SELECT sv, 0 FROM s WHERE sv IS NOT NULL
     UNION
     SELECT e.dst AS v, reach.d + 1
     FROM reach JOIN sym e ON e.src = reach.v
@@ -622,19 +625,31 @@ def stratified_sample_sql(pct: int = 20) -> str:
     md5-derived, the same integer parse both engines agree on."""
     return f"""
 SELECT doc_id, text, lang, source, n_chars FROM documents
-WHERE ('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {pct}
+WHERE ('0x' || substr(md5(coalesce(lang, '<null>') || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {pct}
 """.strip()
 
 
 def corpus_stats_sql() -> str:
+    # avg_utokens: exact integer micro-tokens via split div/mod — the
+    # same representation-stable arithmetic as the Spark side (a raw
+    # rounded double does not survive cross-engine hash
+    # canonicalization; see round-3 VERDICT "What's wrong" #1)
     return r"""
+WITH agg AS (
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS total_tokens,
+           sum(CAST(length(text) AS BIGINT)) AS total_chars
+    FROM documents
+    GROUP BY lang
+)
 SELECT lang,
-       count(*) AS n_docs,
-       sum(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)) AS total_tokens,
-       round(avg(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)), 6) AS avg_tokens,
-       sum(CAST(length(text) AS BIGINT)) AS total_chars
-FROM documents
-GROUP BY lang
+       n_docs,
+       total_tokens,
+       (total_tokens // n_docs) * 1000000
+         + ((total_tokens % n_docs) * 1000000) // n_docs AS avg_utokens,
+       total_chars
+FROM agg
 """.strip()
 
 

@@ -27,9 +27,33 @@ def write_run_metrics(path: str, **metrics) -> None:
 
 
 def write_degree_profile(
-    degrees: DataFrame, path: str, num: int = 5000, seed: int = 42
+    degrees: DataFrame,
+    path: str,
+    num: int = 5000,
+    seed: int = 42,
+    oneify: bool = False,
+    oriented: DataFrame | None = None,
 ) -> None:
-    """Sampled (v, degree) pairs (reference print_degrees)."""
+    """Sampled (v, degree) pairs (reference print_degrees,
+    tc.cu:795-814).
+
+    With `oneify=True` (the reference's oneify flag) the profile is the
+    OUT-degree of the degree-ORIENTED graph — each undirected edge
+    counted once, at its lower-ranked endpoint — recomputed from the
+    `oriented` edge frame; vertices whose every edge points inward
+    appear with degree 0, so the profile still covers the full vertex
+    set of `degrees`."""
+    if oneify:
+        if oriented is None:
+            raise ValueError("oneify=True requires the oriented edge frame")
+        outdeg = oriented.groupBy(F.col("src").alias("v")).agg(
+            F.count("*").alias("odeg")
+        )
+        degrees = (
+            degrees.select("v")
+            .join(outdeg, "v", "left")
+            .select("v", F.coalesce("odeg", F.lit(0)).cast("long").alias("degree"))
+        )
     total = degrees.count()
     frac = min(1.0, num / max(total, 1))
     degrees.sample(fraction=frac, seed=seed).write.mode("overwrite").csv(path)
