@@ -88,6 +88,80 @@ def test_pagerank_resume(spark, tmp_path):
         assert abs(resumed[v] - direct[v]) < 1e-12
 
 
+def test_pagerank_resume_after_kill(spark, tmp_path):
+    """Resume after a HARD process death (SIGKILL mid-loop), not a
+    clean early stop: a child JVM runs pagerank with per-iteration
+    durable checkpoints, the parent kills -9 it as soon as the
+    manifest records iteration >= 1, and this session resumes from the
+    on-disk manifest. Final ranks must match an uninterrupted run
+    (bench-scale twin: tools/bench_resume.py, BENCH/RUNS.md r4-b)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "pr_kill")
+    iters = 30  # high enough that the child cannot finish before the kill
+    child_src = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from wedge_parallel_triangle_counting_spark.session import get_spark\n"
+        "from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank\n"
+        "spark = get_spark(app_name='kill-child', master='local[4]',\n"
+        "                  extra_conf={'spark.ui.showConsoleProgress': 'false'})\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "e = spark.read.parquet('/root/testdata/sf0.001/orders.parquet').selectExpr(\n"
+        "    'o_custkey % 1000 AS src', 'o_orderkey % 1000 AS dst')\n"
+        f"pagerank(e, num_iters={iters}, checkpoint_dir={ckpt!r},\n"
+        "         checkpoint_every=1).count()\n"
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_src],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    manifest = os.path.join(ckpt, "pagerank.manifest.json")
+    deadline = time.time() + 300
+    killed_at = None
+    try:
+        while time.time() < deadline:
+            if child.poll() is not None:
+                raise AssertionError("child finished before the kill")
+            try:
+                with open(manifest) as f:
+                    it = json.load(f).get("iteration", -1)
+                if it >= 1:
+                    killed_at = it
+                    break
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            time.sleep(0.2)
+    finally:
+        child.send_signal(signal.SIGKILL)
+        child.wait()
+    assert killed_at is not None and killed_at < iters - 1
+
+    e = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").selectExpr(
+        "o_custkey % 1000 AS src", "o_orderkey % 1000 AS dst"
+    )
+    # finish well past the kill point regardless of where the poll
+    # caught the manifest (killed_at can drift on a slow host)
+    total = killed_at + 5
+    resumed = {
+        r.v: r.pr
+        for r in pagerank(
+            e, num_iters=total, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    direct = {r.v: r.pr for r in pagerank(e, num_iters=total).collect()}
+    assert set(resumed) == set(direct)
+    for v in direct:
+        assert abs(resumed[v] - direct[v]) < 1e-12
+
+
 def test_pagerank_personalized_matches_numpy(spark):
     pairs = _random_directed(21, 30, 90)
     srcs = [0, 1, 2]

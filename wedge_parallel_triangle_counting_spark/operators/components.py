@@ -34,6 +34,17 @@ from .graph import normalize_edges
 # chains would make hashmin run O(diameter) full-graph rounds.
 AUTO_HASHMIN_MAX_EDGES = 50_000_000
 
+# Whether star rounds dedup the large-star output / small-star self
+# rows before the small-star join. r3 dropped them to save a shuffle
+# per round and BENCH_r03 recorded a 9.94 s → 14.10 s "regression";
+# two r4 interleaved A/Bs (order counterbalanced, 12 pairs, sf0.1 and
+# a 16x-amplified graph — BENCH/RUNS.md r4-a) show the variants within
+# noise of each other (dedup-off slightly ahead, 8/12 pairs) and both
+# far under the r3 number, so the r3 delta was host phasing. Default
+# stays OFF: fewer exchanges per round is the safer bet when shuffle
+# volume, not duplicate inflation, dominates at real scale.
+STAR_DEDUP_ROUNDS = False
+
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
     """Undirected pair set, canonical (large, small) per row — built
@@ -219,6 +230,7 @@ def _components_star(
     checkpoint_dir: str | None,
     checkpoint_every: int,
     resume: bool,
+    dedup_rounds: bool = STAR_DEDUP_ROUNDS,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction over the
     persisted canonical edge set `e` (count `prev_cnt`). State is the
@@ -238,7 +250,9 @@ def _components_star(
             cur, start = got
             prev_cnt = cur.count()
 
-    cur, prev_cnt = _star_rounds(loop, cur, prev_cnt, start, max_iters)
+    cur, prev_cnt = _star_rounds(
+        loop, cur, prev_cnt, start, max_iters, dedup_rounds=dedup_rounds
+    )
     # parent table: every vertex points to its component min (vertex
     # set from the persisted canonical edges — materialized via
     # localCheckpoint so `e` can be released before returning the
@@ -258,10 +272,25 @@ def _components_star(
 
 
 def _star_rounds(
-    loop: CheckpointedLoop, cur: DataFrame, prev_cnt: int, start: int, max_iters: int
+    loop: CheckpointedLoop,
+    cur: DataFrame,
+    prev_cnt: int,
+    start: int,
+    max_iters: int,
+    dedup_rounds: bool = STAR_DEDUP_ROUNDS,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star rounds until the edge
-    relation stabilizes; returns (final relation, its count)."""
+    relation stabilizes; returns (final relation, its count).
+
+    `dedup_rounds` controls the two intermediate distincts inside a
+    round (on the large-star output and the small-star self rows).
+    They are semantically optional — every downstream consumer is a
+    min-agg or ends in a distinct — so the trade is one saved shuffle
+    per round (off) vs a duplicate-inflated relation through the
+    small-star join (on). Counterbalanced interleaved A/Bs at sf0.1
+    and 16x-amplified measured the variants within host noise
+    (BENCH/RUNS.md r4-a), so the default keeps the fewer-shuffles
+    shape."""
     for it in range(start, max_iters):
         # large-star: for each u, connect all strictly-larger neighbors
         # to min(neighborhood ∪ {u})
@@ -269,27 +298,23 @@ def _star_rounds(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
-        # no intermediate distinct: downstream min-aggs are
-        # duplicate-insensitive and new_cur ends in a distinct — the
-        # duplicate factor is bounded by the round's edge count, and
-        # dropping it saves a full shuffle per round
         large = (
             nbrs.join(mins, "src")
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.least("mn", F.col("src")).alias("dst"))
             .filter(F.col("src") != F.col("dst"))
         )
+        if dedup_rounds:
+            large = large.distinct()
         # small-star: for each u, connect all smaller-or-equal neighbors
         # to the min
         nbrs2 = large.select("src", "dst").unionByName(
             large.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # self rows (u, u) need no dedup: min-agg and the final
-        # distinct absorb duplicates, and dropping the distinct saves
-        # one shuffle per round
-        small_nbrs = nbrs2.filter(F.col("dst") < F.col("src")).unionByName(
-            nbrs2.select(F.col("src"), F.col("src").alias("dst"))
-        )
+        self_rows = nbrs2.select(F.col("src"), F.col("src").alias("dst"))
+        if dedup_rounds:
+            self_rows = self_rows.distinct()
+        small_nbrs = nbrs2.filter(F.col("dst") < F.col("src")).unionByName(self_rows)
         mins2 = small_nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
         small = (
             small_nbrs.join(mins2, "src")
