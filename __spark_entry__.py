@@ -412,6 +412,24 @@ def _q_lsh_bucket_pairs(spark, sf_dir):
     return lsh_bucket_pairs(_emb(spark, sf_dir))
 
 
+# Near-dup cosine bar for the synthetic embeddings: their pairwise
+# cosines top out ~0.51, so the real-corpus default (0.9) would make
+# the oracle check vacuous (0 = 0 rows). 0.35 yields a few hundred
+# verdicts at sf0.01 — a meaningful parity surface (0.35 left only 6
+# after LSH bucket recall).
+EMB_NEAR_DUP_THRESHOLD = 0.25
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    return embedding_near_dup(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD
+    )
+
+
 def _q_random_plane_lsh(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.similarity import (
         random_plane_lsh_candidates,
@@ -507,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -590,6 +609,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.fingerprint_sql(),
         "text_sample_stratified": oracles.stratified_sample_sql(),
         "text_corpus_stats": oracles.corpus_stats_sql(),
+        "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
+            threshold=EMB_NEAR_DUP_THRESHOLD
+        ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),
         "ann_random_plane_lsh": oracles.random_plane_lsh_sql(),

@@ -67,6 +67,55 @@ def test_lsh_bucket_pairs_subset_of_bruteforce(spark, emb):
         assert abs(cos - r.cos) < 1e-5
 
 
+def test_embedding_near_dup_verdicts(spark, emb, docs):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    rows = emb.collect()
+    vec = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = embedding_near_dup(docs, emb, threshold=0.25).collect()
+    assert len(got) > 0
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for r in got:
+        # keeper is always the smaller id; cosine bar holds; lang from docs
+        assert r.dup_of < r.doc_id
+        a, b = vec[r.dup_of], vec[r.doc_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.25 - 1e-9 and abs(cos - r.cos) < 1e-5
+        assert r.lang == langs[r.doc_id]
+    # dup_of is the SMALLEST qualifying neighbor among LSH bucket mates:
+    # cross-check against the raw pair list
+    pairs = lsh_bucket_pairs(emb, threshold=0.25).collect()
+    smallest = {}
+    for p in pairs:
+        smallest[p.id_b] = min(smallest.get(p.id_b, p.id_a), p.id_a)
+    assert {r.doc_id: r.dup_of for r in got} == smallest
+
+
+def test_embedding_near_dup_catches_exact_duplicate(spark):
+    # identical vectors share every axis-sign bucket → an exact dup is
+    # ALWAYS caught (cos = 1), regardless of LSH recall on near-misses
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    random.seed(11)
+    base = [[random.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    vecs = base + [list(base[3])]  # vec 20 duplicates vec 3
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    d = spark.createDataFrame(
+        [(i, "en") for i in range(len(vecs))], "doc_id long, lang string"
+    )
+    got = {r.doc_id: r for r in embedding_near_dup(d, e, threshold=0.999).collect()}
+    assert 20 in got and got[20].dup_of == 3
+    assert abs(got[20].cos - 1.0) < 1e-6
+
+
 def test_random_plane_lsh_enrichment_and_determinism(spark, emb):
     # the fixture embeddings are near-random (max pairwise cos ≈ 0.48),
     # so an absolute recall assertion is meaningless for sign-LSH; the

@@ -228,3 +228,43 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
         term = F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else (sim + term)
     return agged.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_near_dup(
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate verdicts over the documents
+    table: one row (doc_id, dup_of, cos, lang) per document that has a
+    SMALLER-id near neighbor (cosine >= threshold among axis-sign LSH
+    bucket mates); `dup_of` is the smallest such neighbor — the
+    canonical keeper under the same min-id convention as
+    dedup_clusters, so dropping every row's doc_id dedups the corpus.
+
+    Scale path: candidates are bucket-bounded by
+    similarity.lsh_bucket_pairs (~N²/2^nbits per-bucket work, nbits
+    auto-derived ~log2 N) — never all-pairs; the verdict is one
+    groupBy over the pair list plus one join back to `docs`. Exact
+    duplicates are always caught (identical vectors share every
+    bucket); near-miss recall is the LSH trade documented in
+    similarity.py. The whole construct is SQL-reproducible, mirrored
+    bit for bit by the DuckDB oracle (plans/oracles.py:
+    embedding_near_dup_sql)."""
+    from .similarity import lsh_bucket_pairs
+
+    pairs = lsh_bucket_pairs(emb, threshold=threshold, nbits=nbits)
+    verdicts = (
+        pairs.groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min(F.struct(F.col("id_a"), F.col("cos"))).alias("s"))
+        .select(
+            id_col,
+            F.col("s.id_a").alias("dup_of"),
+            F.col("s.cos").alias("cos"),
+        )
+    )
+    return verdicts.join(docs.select(id_col, "lang"), id_col).select(
+        id_col, "dup_of", "cos", "lang"
+    )

@@ -796,6 +796,28 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 """.strip()
 
 
+def embedding_near_dup_sql(
+    threshold: float = 0.9, nbits: int | None = None, stride: int = 8
+) -> str:
+    """Mirrors dedup.embedding_near_dup: the axis-sign LSH pair list
+    (lsh_bucket_pairs_sql, bit-identical buckets and cosines), min-id
+    keeper per duplicate, lang joined from documents."""
+    pairs = lsh_bucket_pairs_sql(threshold, nbits, stride)
+    return f"""
+WITH pairs AS (
+{pairs}
+),
+v AS (
+    SELECT id_b AS doc_id,
+           min(id_a) AS dup_of,
+           arg_min(cos, id_a) AS cos
+    FROM pairs GROUP BY id_b
+)
+SELECT v.doc_id, v.dup_of, v.cos, d.lang
+FROM v JOIN documents d USING (doc_id)
+""".strip()
+
+
 def random_plane_lsh_sql(
     nbits: int = 32,
     bands: int = 4,
