@@ -464,6 +464,12 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_sessionized(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.streaming.events import sessionized
+
+    return sessionized(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_streaming_triangles(spark, sf_dir):
     # real Structured Streaming execution (availableNow replay of the
     # events file through foreachBatch incremental maintenance); the
@@ -538,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_frame_sample,
         "events_windowed": _q_events_windowed,
+        "events_sessionized": _q_events_sessionized,
         "streaming_triangles": _q_streaming_triangles,
     }
 
@@ -618,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": oracles.media_stats_sql(),
         "media_frame_sample": oracles.frame_sample_sql(),
         "events_windowed": oracles.events_windowed_sql(),
+        "events_sessionized": oracles.events_sessionized_sql(),
         "streaming_triangles": oracles.triangles_sql(
             "SELECT user_id % 301 AS src, event_id % 301 AS dst FROM events"
         ),

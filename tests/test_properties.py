@@ -90,3 +90,57 @@ def test_zipf_hub_lane_actually_engages(spark):
         oriented.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_odeg >= hub_min_deg
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=300,
+    ),
+    st.integers(2, 64),
+)
+@settings(max_examples=60, deadline=None)
+def test_hub_chunk_rows_match_loop_reference(pairs, split_budget):
+    """The vectorized (numpy/Arrow) _hub_chunk_rows must emit exactly
+    the rows the straightforward per-hub loop would: same (v, adj,
+    deg, lo, hi) multiset. Guards the r4 vectorization."""
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.triangles import (
+        _hub_chunk_rows,
+        _runs,
+    )
+
+    # canonical a<b edges; mark every vertex a hub so all edges flow
+    # through the hub path
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not und:
+        return
+    a = np.array([x for x, _ in und], dtype=np.int64)
+    b = np.array([y for _, y in und], dtype=np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    pos = np.searchsorted(ids, a)
+    hub_flag = np.ones(len(ids), dtype=bool)
+
+    table, est = _hub_chunk_rows(a, b, pos, hub_flag, split_budget)
+    got = set()
+    if table is not None:
+        for r in table.to_pylist():
+            got.add((r["v"], tuple(r["adj"]), r["deg"], r["i_lo"], r["i_hi"]))
+
+    # reference: the pre-r4 per-hub Python loop, verbatim semantics
+    order = np.lexsort((b, a))
+    hs, hd = a[order], b[order]
+    starts, degs = _runs(hs)
+    want = set()
+    for k in range(len(starts)):
+        d = int(degs[k])
+        if d < 2:
+            continue
+        v = int(hs[starts[k]])
+        c = max(1, split_budget // d)
+        adj = tuple(hd[starts[k] : starts[k] + d].tolist())
+        for lo in range(0, d - 1, c):
+            want.add((v, adj, d, lo, min(lo + c, d - 1)))
+    assert got == want

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from wedge_parallel_triangle_counting_spark.operators.multimodal import (
     attach_media,
@@ -221,6 +222,81 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in got_df.collect()
     }
     assert got == want
+
+
+def test_sessionized_matches_gaps_and_islands(spark):
+    # batch session windows == a driver-side gaps-and-islands replay
+    # (the same construct the DuckDB oracle runs)
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from wedge_parallel_triangle_counting_spark.streaming.events import sessionized
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in sessionized(ev, "30 minutes").collect()
+    }
+    gap = timedelta(minutes=30)
+    by_user = defaultdict(list)
+    for r in ev.select("user_id", "ts", "value", "event_id").collect():
+        by_user[r.user_id].append((r.ts, r.event_id, r.value))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        cur = []
+        for ts, _, val in rows:
+            if cur and ts >= cur[-1][0] + gap:
+                want[(u, cur[0][0], cur[-1][0] + gap)] = (
+                    len(cur),
+                    round(sum(v for _, v in cur), 6),
+                )
+                cur = []
+            cur.append((ts, val))
+        want[(u, cur[0][0], cur[-1][0] + gap)] = (
+            len(cur),
+            round(sum(v for _, v in cur), 6),
+        )
+    assert set(got) == set(want)
+    for k, (n, tv) in want.items():
+        assert got[k][0] == n and abs(got[k][1] - tv) < 1e-6
+    # more sessions than users (the gap actually splits), sanity
+    assert len(got) > len(by_user)
+
+
+def test_streaming_sessionized_append_contract(spark, tmp_path):
+    # append mode emits exactly the sessions the FINAL watermark has
+    # closed; open tail sessions stay as state. Parity statement:
+    # streaming output == batch restricted to session_end <= max_ts - wm
+    import shutil
+
+    from wedge_parallel_triangle_counting_spark.streaming.events import (
+        run_streaming_sessionized,
+        sessionized,
+    )
+
+    events_dir = tmp_path / "events_sess"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "part-000.parquet")
+    ev = spark.read.parquet(str(events_dir))
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    from datetime import timedelta
+
+    wm_cut = max_ts - timedelta(hours=1)
+    batch = sessionized(ev, "30 minutes").filter(F.col("session_end") <= F.lit(wm_cut))
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    got_df = run_streaming_sessionized(
+        spark, str(events_dir), str(tmp_path / "ckpt_sess"), "30 minutes", "1 hour"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in got_df.collect()
+    }
+    assert got == want
+    assert len(got) > 0
 
 
 def test_streaming_update_mode_matches_batch(spark, tmp_path):

@@ -905,6 +905,35 @@ FROM stats WHERE kind = 'video'
 # -- events (batch windowed aggregation; streaming twin in streaming/) ----
 
 
+def events_sessionized_sql(gap_minutes: int = 30) -> str:
+    """Mirrors streaming.events.sessionized (Spark F.session_window)
+    as gaps-and-islands: a break starts whenever the gap to the
+    previous event is >= `gap_minutes` (session windows are half-open
+    [start, last_ts + gap)); session_end = last_ts + gap."""
+    return f"""
+WITH x AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN ts >= lag(ts) OVER w + INTERVAL '{gap_minutes} minutes'
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS grp
+    FROM x
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '{gap_minutes} minutes' AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM g
+GROUP BY user_id, grp
+""".strip()
+
+
 def events_windowed_sql() -> str:
     return """
 SELECT date_trunc('hour', ts) AS window_start,

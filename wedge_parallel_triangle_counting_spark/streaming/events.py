@@ -119,3 +119,67 @@ def run_streaming_windowed(
         Window.partitionBy("window_start", "event_type").orderBy(F.desc("_batch"))
     )
     return w_all.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn", "_batch")
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """(user_id, session_start, session_end, n_events, total_value) —
+    session windows with an inactivity `gap`: consecutive events of a
+    user belong to one session while each arrives strictly before
+    previous_ts + gap; session_end = last_ts + gap (Spark
+    F.session_window semantics, half-open [start, end)).
+
+    Scale: one shuffle on user_id; state per user is a single open
+    session in streaming. The classic web-analytics rollup — the
+    DuckDB oracle expresses the same thing as gaps-and-islands
+    (lag + running sum of breaks)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_streaming_sessionized(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The same session rollup as an incremental stream (append mode +
+    watermark, Trigger.AvailableNow): a session row is emitted exactly
+    once, when the watermark passes its end — the production contract
+    for unbounded streams (state = open sessions only).
+
+    Append mode means sessions still open against the FINAL watermark
+    (max event ts - watermark) are retained as state, not emitted —
+    the batch/stream parity statement is therefore: streaming output ==
+    batch sessionized() restricted to session_end <= final watermark
+    (asserted in tests)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    agg = sessionized(stream, gap)
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("sessionized_events")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("sessionized_events")
