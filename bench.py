@@ -77,6 +77,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    # host context: the box is shared and phases between quiet and
+    # 2x-degraded windows (BENCH/RUNS.md) — record the load so a
+    # reader can judge the window this run landed in
+    extra["loadavg_start"] = round(os.getloadavg()[0], 2)
 
     def timed(name, fn, repeats=3):
         # best-of-k INCLUDING the first run (the suite-level warm-up
@@ -154,6 +158,7 @@ def main() -> None:
     timed("labelprop_3it", lambda: label_propagation(pe, num_iters=3).count())
     timed("ingest_edges", lambda: pages_to_edges(doc_pages(spark, sf_dir))[0].count())
 
+    extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
