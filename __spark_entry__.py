@@ -464,6 +464,24 @@ def _q_events_windowed(spark, sf_dir):
     return windowed_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_media_resize(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        resize_media,
+    )
+
+    return resize_media(attach_media(_docs(spark, sf_dir)), max_dim=256)
+
+
+def _q_media_features(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        media_features,
+    )
+
+    return media_features(attach_media(_docs(spark, sf_dir)), dim=16)
+
+
 def _q_events_sessionized(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.streaming.events import sessionized
 
@@ -543,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_random_plane_lsh": _q_random_plane_lsh,
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_frame_sample,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
         "events_windowed": _q_events_windowed,
         "events_sessionized": _q_events_sessionized,
         "streaming_triangles": _q_streaming_triangles,
@@ -624,6 +644,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_random_plane_lsh": oracles.random_plane_lsh_sql(),
         "media_stats": oracles.media_stats_sql(),
         "media_frame_sample": oracles.frame_sample_sql(),
+        "media_resize": oracles.media_resize_sql(),
+        "media_features": oracles.media_features_sql(),
         "events_windowed": oracles.events_windowed_sql(),
         "events_sessionized": oracles.events_sessionized_sql(),
         "streaming_triangles": oracles.triangles_sql(

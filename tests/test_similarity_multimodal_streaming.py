@@ -199,6 +199,49 @@ def test_decode_media_real_path(spark, docs):
     assert rows[2].width is None and rows[2].height is None
 
 
+def test_resize_media_fit_in_box_exact(spark, docs):
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        decode_media,
+        resize_media,
+    )
+
+    media = attach_media(docs)
+    orig = {r.doc_id: (r.width, r.height) for r in decode_media(media).collect()}
+    got = resize_media(media, max_dim=100).collect()
+    assert len(got) == len(orig)
+    for r in got:
+        w0, h0 = orig[r.doc_id]
+        assert max(r.width, r.height) <= 100
+        if max(w0, h0) <= 100:
+            assert (r.width, r.height) == (w0, h0)  # no upscaling
+        else:
+            big = max(w0, h0)
+            assert r.width == w0 * 100 // big and r.height == h0 * 100 // big
+
+
+def test_media_features_byte_histogram(spark, docs):
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.multimodal import (
+        attach_media,
+        media_features,
+    )
+
+    media = attach_media(docs)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r.features for r in media_features(media, dim=16).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in list(texts.items())[:50]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        want = np.bincount(b % 16, minlength=16).tolist()
+        assert got[doc_id] == want
+        assert sum(got[doc_id]) == len(b)  # histogram covers every byte
+    # normalized variant sums to 1 and is ANN-ready doubles
+    norm = media_features(media, dim=16, normalize=True).first()
+    assert abs(sum(norm.features) - 1.0) < 1e-9
+
+
 def test_frame_sample_only_video(spark, docs):
     fs = frame_sample_plan(attach_media(docs))
     assert fs.count() > 0

@@ -121,7 +121,9 @@ def common_neighbor_pairs(
             .orderBy(F.desc("cn"), F.asc("id_a"), F.asc("id_b"))
             .limit(k)
         )
-        rows = [(int(r.id_a), int(r.id_b), int(r.cn)) for r in top.collect()]
+        # eager localCheckpoint pins the (k-bounded) result before the
+        # cached symmetric table is released — no driver materialization
+        out = top.localCheckpoint(eager=True)
     finally:
         sym.unpersist()
-    return spark.createDataFrame(rows, "id_a long, id_b long, cn long")
+    return out

@@ -129,3 +129,87 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, width long, height long"
+)
+
+
+def resize_media(
+    media: DataFrame, max_dim: int = 256, real_resize: bool = False
+) -> DataFrame:
+    """Fit-in-box resize: (doc_id, kind, n_bytes, width, height) with
+    width/height scaled so max(width, height) <= max_dim, aspect
+    preserved, computed with INTEGER arithmetic (w*max_dim // max(w,h))
+    so the result is exact and oracle-reproducible; applied to every
+    kind's (deterministic) dims, mirroring decode_media's fake path.
+
+    real_resize=True additionally re-encodes the image bytes with PIL
+    (import-guarded like decode_media; absent → NotImplementedError);
+    the default path transforms only the metadata — the Spark-side
+    plumbing (schema, Arrow batches, pruned scan) is identical."""
+    if real_resize and not HAS_PIL:
+        raise NotImplementedError(
+            "real media resize requires PIL, not present in this "
+            "environment; the metadata path (real_resize=False) "
+            "exercises the same Spark plumbing"
+        )
+    stats = decode_media(media, real_decode=real_resize)
+    big = F.greatest("width", "height")
+    scale_w = F.when(
+        big <= max_dim, F.col("width")
+    ).otherwise((F.col("width") * max_dim).cast("long") / big)
+    scale_h = F.when(
+        big <= max_dim, F.col("height")
+    ).otherwise((F.col("height") * max_dim).cast("long") / big)
+    return stats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        F.floor(scale_w).cast("long").alias("width"),
+        F.floor(scale_h).cast("long").alias("height"),
+    )
+
+
+def media_features(
+    media: DataFrame, dim: int = 16, normalize: bool = False
+) -> DataFrame:
+    """(doc_id, features) — a REAL, library-free feature extractor over
+    the raw media bytes: the byte-value histogram folded mod `dim`.
+    Deterministic, content-derived, identical on any executor; the slot
+    where a model embedding would plug in on a cluster that has one.
+    The per-byte work is vectorized np.bincount per Arrow batch (the
+    per-row object access is inherent to ragged binary columns, same
+    as decode_media).
+
+    Default output is integer counts (array<long>) — exact and
+    hash-stable across engines for the DuckDB oracle (the corpus_stats
+    lesson: never put a derived double in an oracle-checked column).
+    normalize=True divides by the byte count for ANN use
+    (array<double>): feed to similarity.random_plane_lsh_candidates /
+    lsh_bucket_pairs for media-level near-dup, the same composition as
+    text MinHash → clusters."""
+    import numpy as np
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for raw in pdf["media"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                h = np.bincount(b % dim, minlength=dim)
+                if normalize:
+                    tot = max(int(h.sum()), 1)
+                    out.append((h / tot).tolist())
+                else:
+                    out.append(h.tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "features": out}
+            )
+
+    dtype = "double" if normalize else "long"
+    return media.select("doc_id", "media").mapInPandas(
+        feats, schema=f"doc_id long, features array<{dtype}>"
+    )

@@ -891,6 +891,45 @@ def media_stats_sql() -> str:
     )
 
 
+def media_resize_sql(max_dim: int = 256) -> str:
+    """Mirrors multimodal.resize_media (metadata path): fit-in-box
+    integer scaling w*max_dim // max(w,h), aspect preserved."""
+    return (
+        "WITH "
+        + _MEDIA_CTE
+        + f"""
+SELECT doc_id, kind, n_bytes,
+       CAST(CASE WHEN greatest(width, height) <= {max_dim} THEN width
+                 ELSE width * {max_dim} // greatest(width, height) END AS BIGINT) AS width,
+       CAST(CASE WHEN greatest(width, height) <= {max_dim} THEN height
+                 ELSE height * {max_dim} // greatest(width, height) END AS BIGINT) AS height
+FROM stats
+"""
+    )
+
+
+def media_features_sql(dim: int = 16) -> str:
+    """Mirrors multimodal.media_features (counts mode): the byte-value
+    histogram of encode(text) folded mod `dim`, recovered in SQL via
+    the hex expansion of the blob (every byte = one hex pair)."""
+    return f"""
+WITH b AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, hex(encode(text)) AS h
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           list_transform(range(length(h) // 2),
+                          i -> ('0x' || substr(h, 2 * i + 1, 2))::BIGINT % {dim}) AS vals
+    FROM b
+)
+SELECT doc_id,
+       list_transform(range({dim}),
+                      k -> CAST(len(list_filter(vals, v -> v = k)) AS BIGINT)) AS features
+FROM bytes
+""".strip()
+
+
 def frame_sample_sql(every_n: int = 10) -> str:
     return (
         "WITH "
