@@ -237,6 +237,20 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+HITS_ITERS = 3
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.hits import hits
+
+    hs = hits(testdata.derived_pagerank_edges(spark, sf_dir), num_iters=HITS_ITERS)
+    return hs.select(
+        "v", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -531,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "graph_link_prediction": _q_link_prediction,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
         "components": _q_components,
@@ -595,6 +610,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
+        ),
+        "hits": oracles.hits_sql(
+            testdata.derived_pagerank_edges_sql(), HITS_ITERS
         ),
         "pagerank_personalized": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(),

@@ -366,3 +366,62 @@ def test_pagerank_weighted_uniform_weights_match_unweighted(spark):
     b = {r.v: r.pr for r in pagerank(dfw, num_iters=5, weight_col="w").collect()}
     for v in a:
         assert abs(a[v] - b[v]) < 1e-9
+
+
+def numpy_hits(pairs, num_iters):
+    import numpy as np
+
+    e = sorted({(a, b) for a, b in pairs if a != b})
+    vs = sorted({x for p in e for x in p})
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(num_iters):
+        a = np.zeros(n)
+        for s, d in e:
+            a[idx[d]] += h[idx[s]]
+        nrm = np.sqrt((a * a).sum())
+        a = a / nrm if nrm > 0 else a
+        h = np.zeros(n)
+        for s, d in e:
+            h[idx[s]] += a[idx[d]]
+        nrm = np.sqrt((h * h).sum())
+        h = h / nrm if nrm > 0 else h
+    return {v: (h[idx[v]], a[idx[v]]) for v in vs}
+
+
+def test_hits_matches_numpy(spark):
+    from wedge_parallel_triangle_counting_spark.operators.hits import hits
+
+    pairs = _random_directed(13, 40, 160)
+    got = {r.v: (r.hub, r.authority) for r in hits(edges_df(spark, pairs), 4).collect()}
+    want = numpy_hits(pairs, 4)
+    assert set(got) == set(want)
+    for v, (hb, au) in want.items():
+        assert abs(got[v][0] - hb) < 1e-9 and abs(got[v][1] - au) < 1e-9
+    # a pure sink has authority > 0 but hub 0; a pure source the reverse
+    star = [(i, 99) for i in range(5)] + [(99, 100)]
+    rows = {r.v: r for r in hits(edges_df(spark, star), 3).collect()}
+    assert rows[0].hub > 0 and rows[0].authority == 0.0
+    assert rows[100].authority > 0 and rows[100].hub == 0.0
+
+
+def test_hits_resume(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.hits import hits
+
+    pairs = _random_directed(29, 25, 90)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "hits")
+    hits(df, num_iters=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed = {
+        r.v: (r.hub, r.authority)
+        for r in hits(
+            df, num_iters=4, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    direct = {r.v: (r.hub, r.authority) for r in hits(df, num_iters=4).collect()}
+    assert set(resumed) == set(direct)
+    for v in direct:
+        assert abs(resumed[v][0] - direct[v][0]) < 1e-12
+        assert abs(resumed[v][1] - direct[v][1]) < 1e-12

@@ -260,6 +260,55 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """.strip()
 
 
+def hits_sql(raw_sql: str, num_iters: int, ndigits: int = 6) -> str:
+    """HITS with `num_iters` iterations unrolled as chained CTEs
+    (same generation style as pagerank_sql). Semantics identical to
+    operators/hits.py: distinct self-loop-free directed edges,
+    a0 = h0 = 1, authorities update first, each half-step
+    L2-normalized, output rounded to `ndigits`."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "h0 AS (SELECT v, CAST(1 AS DOUBLE) AS hub FROM vs)",
+    ]
+    prev_h = "h0"
+    final_a = None
+    for k in range(1, num_iters + 1):
+        ctes.append(
+            f"ar{k} AS (SELECT vs.v, coalesce(s.x, 0.0) AS x FROM vs "
+            f"LEFT JOIN (SELECT e.dst AS v, sum(h.hub) AS x FROM e "
+            f"JOIN {prev_h} h ON h.v = e.src GROUP BY e.dst) s USING (v))"
+        )
+        ctes.append(f"an{k} AS (SELECT sqrt(sum(x * x)) AS nrm FROM ar{k})")
+        ctes.append(
+            f"a{k} AS (SELECT v, CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END "
+            f"AS authority FROM ar{k} CROSS JOIN an{k})"
+        )
+        ctes.append(
+            f"hr{k} AS (SELECT vs.v, coalesce(s.x, 0.0) AS x FROM vs "
+            f"LEFT JOIN (SELECT e.src AS v, sum(a.authority) AS x FROM e "
+            f"JOIN a{k} a ON a.v = e.dst GROUP BY e.src) s USING (v))"
+        )
+        ctes.append(f"hn{k} AS (SELECT sqrt(sum(x * x)) AS nrm FROM hr{k})")
+        ctes.append(
+            f"h{k} AS (SELECT v, CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END "
+            f"AS hub FROM hr{k} CROSS JOIN hn{k})"
+        )
+        prev_h = f"h{k}"
+        final_a = f"a{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.v,
+       round(h.hub, {ndigits}) AS hub,
+       round(a.authority, {ndigits}) AS authority
+FROM {prev_h} h JOIN {final_a} a USING (v)
+""".rstrip()
+    )
+
+
 def pagerank_sql(
     raw_sql: str,
     num_iters: int,
