@@ -173,6 +173,16 @@ def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbor_pairs(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        link_prediction_scores,
+    )
+
+    return link_prediction_scores(
+        testdata.derived_pagerank_edges(spark, sf_dir), method="adamic_adar"
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
 
@@ -544,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
         "graph_link_prediction": _q_link_prediction,
+        "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -606,6 +617,9 @@ def oracle_sql() -> dict[str, str]:
             k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_link_adamic_adar": oracles.link_scores_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "pagerank": oracles.pagerank_sql(

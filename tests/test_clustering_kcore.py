@@ -228,3 +228,46 @@ def test_link_prediction_hub_salting_is_exact(spark):
         ).collect()
     ]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_link_prediction_scores_match_brute(spark):
+    import math
+
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        link_prediction_scores,
+    )
+
+    pairs = _random_graph(43, 30, 130)
+    adj = _adj(_und(pairs))
+    verts = sorted(adj)
+    aa, jac = {}, {}
+    for i, x in enumerate(verts):
+        for y in verts[i + 1 :]:
+            if y in adj[x]:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                aa[(x, y)] = sum(1.0 / math.log(len(adj[z])) for z in common)
+                jac[(x, y)] = len(common) / len(adj[x] | adj[y])
+    df = edges_df(spark, pairs)
+    for method, want_scores in (("adamic_adar", aa), ("jaccard", jac)):
+        got = link_prediction_scores(df, k=15, method=method).collect()
+        want = sorted(
+            ((round(s, 6), p) for p, s in want_scores.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:15]
+        assert [(r.score, (r.id_a, r.id_b)) for r in got] == want, method
+        # cn column consistent with the set intersection
+        for r in got:
+            assert r.cn == len(adj[r.id_a] & adj[r.id_b])
+    # hub salting keeps weighted scores exact too: star + clique fixture
+    star = [(0, i) for i in range(1, 40)] + [(1, 2), (2, 3)]
+    hub_got = link_prediction_scores(
+        edges_df(spark, star), k=5, method="resource_allocation", hub_min_deg=8
+    ).collect()
+    sadj = _adj(_und(star))
+    for r in hub_got:
+        want_ra = round(
+            sum(1.0 / len(sadj[z]) for z in sadj[r.id_a] & sadj[r.id_b]), 6
+        )
+        assert r.score == want_ra

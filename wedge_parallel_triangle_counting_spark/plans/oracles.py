@@ -129,6 +129,43 @@ LIMIT {k}
 """.strip()
 
 
+def link_scores_sql(
+    k: int = 50, method: str = "adamic_adar", raw_sql: str | None = None
+) -> str:
+    """Mirrors operators/linkpred.link_prediction_scores: top-k
+    non-adjacent pairs by the chosen index, ordered by the ROUNDED
+    score (then ids) so the k-cut is engine-stable."""
+    raw_sql = raw_sql or derived_edges_sql()
+    if method == "adamic_adar":
+        wsum = "sum(1.0 / ln(d.d))"
+    elif method == "resource_allocation":
+        wsum = "sum(1.0 / d.d)"
+    else:
+        raise ValueError(f"unsupported oracle method {method!r}")
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+wp AS (
+    SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS cn, {wsum} AS wsum
+    FROM sym a
+    JOIN sym b ON a.src = b.src AND a.dst < b.dst
+    JOIN deg d ON d.v = a.src
+    GROUP BY 1, 2
+)
+SELECT wp.id_a, wp.id_b, wp.cn, round(wp.wsum, 6) AS score
+FROM wp LEFT JOIN sym e ON wp.id_a = e.src AND wp.id_b = e.dst
+WHERE e.src IS NULL
+ORDER BY score DESC, wp.id_a, wp.id_b
+LIMIT {k}
+""".strip()
+
+
 def triangles_sampled_sql(k: int = 256, raw_sql: str | None = None) -> str:
     """Mirrors operators/approx.triangle_count_sampled exactly: the
     sampled wedge ids are floor(t·W/k), the wedge order is (v, x, y)
