@@ -406,6 +406,14 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_filtered_corpus(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        filtered_corpus,
+    )
+
+    return filtered_corpus(_docs(spark, sf_dir), min_score=0.5, langs=["en", "de", "fr"])
+
+
 def _q_corpus_stats(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import corpus_stats
 
@@ -582,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "text_sample_stratified": _q_stratified_sample,
         "text_corpus_stats": _q_corpus_stats,
+        "text_filtered_corpus": _q_filtered_corpus,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
@@ -668,6 +677,9 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracles.fingerprint_sql(),
         "text_sample_stratified": oracles.stratified_sample_sql(),
         "text_corpus_stats": oracles.corpus_stats_sql(),
+        "text_filtered_corpus": oracles.filtered_corpus_sql(
+            min_score=0.5, langs=["en", "de", "fr"]
+        ),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),

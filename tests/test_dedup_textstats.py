@@ -183,3 +183,30 @@ def test_corpus_stats_totals_match_per_doc_sums(spark):
         # double anywhere in the column (hash-stable across engines)
         assert got[r.lang].avg_utokens == (r.t * 1_000_000) // r.n
         assert isinstance(got[r.lang].avg_utokens, int)
+
+
+def test_filtered_corpus_composition(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        filtered_corpus,
+        fingerprint,
+        quality_score,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r for r in filtered_corpus(docs, 0.5, ["en", "de"]).collect()}
+    fps = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    keepers = {}
+    for d, f in fps.items():
+        keepers[f] = min(keepers.get(f, d), d)
+    keep_ids = set(keepers.values())
+    scores = {r.doc_id: r for r in quality_score(docs).collect()}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    want = {
+        d
+        for d in langs
+        if d in keep_ids and scores[d].score >= 0.5 and langs[d] in ("en", "de")
+    }
+    assert set(got) == want and len(want) > 0
+    for d, r in got.items():
+        assert r.lang == langs[d] and r.score == scores[d].score
+        assert r.n_tokens == scores[d].n_tokens

@@ -165,3 +165,36 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         )
     )
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+def filtered_corpus(
+    docs: DataFrame,
+    min_score: float = 0.5,
+    langs: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The standard training-data filter chain as ONE composition:
+    exact-dedup keepers (min doc_id per normalized-text fingerprint)
+    ∩ quality threshold (score >= min_score) ∩ optional language
+    allowlist. Returns (doc_id, lang, n_tokens, score) for the docs
+    that survive — the corpus a tokenizer run would consume.
+
+    Scale shape: one fingerprint aggregation (hash agg on md5 — the
+    exact-dedup shuffle), one join back to the quality-scored scan;
+    the quality predicate and language filter are column predicates
+    pushed into the scan side. Thresholding happens on the ROUNDED
+    score (the engines' round-6 values are hash-identical, so the
+    boundary is engine-stable)."""
+    fp = fingerprint(docs, id_col=id_col, text_col=text_col)
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    q = quality_score(docs, id_col=id_col, text_col=text_col)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"), "lang")
+        .join(keepers.select("doc_id"), "doc_id")
+        .join(q.select("doc_id", "n_tokens", "score"), "doc_id")
+        .filter(F.col("score") >= min_score)
+    )
+    if langs is not None:
+        out = out.filter(F.col("lang").isin(list(langs)))
+    return out.select("doc_id", "lang", "n_tokens", "score")

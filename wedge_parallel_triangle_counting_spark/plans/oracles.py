@@ -801,6 +801,41 @@ FROM documents
 """.strip()
 
 
+def filtered_corpus_sql(min_score: float = 0.5, langs: list[str] | None = None) -> str:
+    """Mirrors textstats.filtered_corpus: exact-dedup keepers ∩
+    quality threshold ∩ optional language allowlist, one statement."""
+    lang_pred = ""
+    if langs is not None:
+        quoted = ", ".join(f"'{x}'" for x in langs)
+        lang_pred = f" AND d.lang IN ({quoted})"
+    return rf"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum_len
+    FROM documents
+),
+q AS (
+    SELECT doc_id, n_tokens,
+           round(least(n_tokens / 100.0, 1.0)
+                 * (1.0 - round((n_chars - alnum_len) / greatest(n_chars, 1), 6)), 6) AS score
+    FROM base
+)
+SELECT d.doc_id, d.lang, q.n_tokens, q.score
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN q USING (doc_id)
+WHERE q.score >= {min_score}{lang_pred}
+""".strip()
+
+
 # -- similarity-search oracles (embeddings table) -------------------------
 
 
