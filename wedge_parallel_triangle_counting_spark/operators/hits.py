@@ -39,8 +39,18 @@ def hits(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    dual_edge_copies: bool = True,
 ) -> DataFrame:
-    """Returns DataFrame [v: long, hub: double, authority: double]."""
+    """Returns DataFrame [v: long, hub: double, authority: double].
+
+    `dual_edge_copies` (default) persists the clean edge table TWICE —
+    hash(src)- and hash(dst)-clustered — so BOTH half-step joins are
+    co-partitioned with the hash(v) state and no edge-sized exchange
+    happens inside the loop (one extra exchange at setup buys
+    2·num_iters of them; the per-iteration cost is then only the two
+    contribution aggregations). Off = single dst-clustered copy, the
+    hub half-step re-exchanges the edges by src every iteration —
+    kept for A/B."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
     e = (
@@ -50,6 +60,7 @@ def hits(
         .dropDuplicates(["src", "dst"])
         .persist()
     )
+    e_src = e.repartition(npart, "src").persist() if dual_edge_copies else e
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -76,45 +87,66 @@ def hits(
         )
 
     for it in range(start, num_iters):
-        # authority half-step: sum hub over in-edges, L2-normalize
-        a_raw = (
-            e.join(state.select(F.col("v").alias("src"), "hub"), "src")
+        # SPARSE state: vertices with zero hub/authority carry no
+        # information through the loop (they contribute nothing to
+        # either half-step's sum or to the L2 norms), so the
+        # per-iteration relations hold only nonzero rows and the full
+        # vertex set is joined back ONCE after the loop — two fewer
+        # joins per iteration.
+        #
+        # The unnormalized half is PERSISTED before the norm branch
+        # reads it — otherwise the raw aggregation lineage is computed
+        # once for the norm and again for the normalized values (and
+        # the hub half compounds it), measured ~2x the whole loop.
+        a_un = (
+            e_src.join(state.select(F.col("v").alias("src"), "hub"), "src")
+            .filter(F.col("hub") != 0.0)
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("hub").alias("a_raw"))
+            .persist()
         )
-        a = verts.join(a_raw, "v", "left").select(
-            "v", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        a_norm = a_un.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("a_raw") * F.col("a_raw")), F.lit(0.0))).alias("nrm")
         )
-        a_norm = a.agg(
-            F.sqrt(F.sum(F.col("a_raw") * F.col("a_raw"))).alias("nrm")
-        )
-        a = a.crossJoin(F.broadcast(a_norm)).select(
+        a = a_un.crossJoin(F.broadcast(a_norm)).select(
             "v",
             F.when(F.col("nrm") > 0, F.col("a_raw") / F.col("nrm"))
             .otherwise(F.lit(0.0))
             .alias("authority"),
         )
         # hub half-step reads the NEW authorities
-        h_raw = (
+        h_un = (
             e.join(a.select(F.col("v").alias("dst"), "authority"), "dst")
             .groupBy(F.col("src").alias("v"))
             .agg(F.sum("authority").alias("h_raw"))
+            .persist()
         )
-        h = verts.join(h_raw, "v", "left").select(
-            "v", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        h_norm = h_un.agg(
+            F.sqrt(F.coalesce(F.sum(F.col("h_raw") * F.col("h_raw")), F.lit(0.0))).alias("nrm")
         )
-        h_norm = h.agg(
-            F.sqrt(F.sum(F.col("h_raw") * F.col("h_raw"))).alias("nrm")
-        )
-        h = h.crossJoin(F.broadcast(h_norm)).select(
+        h = h_un.crossJoin(F.broadcast(h_norm)).select(
             "v",
             F.when(F.col("nrm") > 0, F.col("h_raw") / F.col("nrm"))
             .otherwise(F.lit(0.0))
             .alias("hub"),
         )
-        state = h.join(a, "v").select("v", "hub", "authority")
+        state = h.join(a, "v", "full").select(
+            "v",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
         state = loop.step(state, it, eager=False)
         loop.history[-1]["extra"]["n"] = state.count()
+        a_un.unpersist()
+        h_un.unpersist()
 
+    # densify once: the sparse loop state only carries nonzero rows
+    out = verts.join(state, "v", "left").select(
+        "v",
+        F.coalesce("hub", F.lit(0.0)).alias("hub"),
+        F.coalesce("authority", F.lit(0.0)).alias("authority"),
+    ).localCheckpoint(eager=True)
     e.unpersist()
-    return state.select("v", "hub", "authority")
+    if dual_edge_copies:
+        e_src.unpersist()
+    return out
