@@ -229,3 +229,104 @@ def test_relabel_broadcasts_small_dictionary(spark):
     ranks = G.degree_rank(deg, "window")
     plan = _plan(G.relabel(sym, ranks, n=4))
     assert "BroadcastHashJoin" in plan
+
+
+def test_hits_round_never_exchanges_edge_table(spark):
+    """HITS loop shape (r4): with dual aligned edge copies (hash(src)
+    and hash(dst), both at loop_partitions) and hash(v) state, a
+    steady-state iteration must read both edge caches with NO
+    edge-sized re-exchange — the only src/dst-keyed
+    ENSURE_REQUIREMENTS exchanges allowed are the two contribution
+    aggregations, which Spark keys on the pre-alias attribute but
+    which sit above a map-side partial HashAggregate (so the
+    shuffled payload is combiner-reduced, not edge-sized). An
+    exchange whose child is NOT a partial aggregate would be a true
+    edge-cache re-shuffle and fails the test. Broadcast disabled to
+    force the at-scale SortMergeJoin plan."""
+    from wedge_parallel_triangle_counting_spark.operators.checkpointing import (
+        CheckpointedLoop,
+        loop_partitions,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        normalize_edges,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.read.parquet(f"{SF}/orders.parquet").select(
+            (F.col("o_custkey") % 601).alias("src"),
+            (F.col("o_orderkey") % 601).alias("dst"),
+        )
+        npart = loop_partitions(spark)
+        e = (
+            normalize_edges(edges)
+            .filter(F.col("src") != F.col("dst"))
+            .repartition(npart, "dst")
+            .dropDuplicates(["src", "dst"])
+            .persist()
+        )
+        e_src = e.repartition(npart, "src").persist()
+        verts = (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+            .repartition(npart, "v")
+        )
+        loop = CheckpointedLoop(spark, "hits_plan", None, 5)
+        state = verts.select(
+            "v", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        )
+        plan = None
+        for it in range(3):
+            a_un = (
+                e_src.join(state.select(F.col("v").alias("src"), "hub"), "src")
+                .filter(F.col("hub") != 0.0)
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("hub").alias("a_raw"))
+            )
+            h_un = (
+                e.join(a_un.select(F.col("v").alias("dst"), "a_raw"), "dst")
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.sum("a_raw").alias("h_raw"))
+            )
+            new_state = h_un.join(a_un, "v", "full").select(
+                "v",
+                F.coalesce("h_raw", F.lit(0.0)).alias("hub"),
+                F.coalesce("a_raw", F.lit(0.0)).alias("authority"),
+            )
+            if it == 2:
+                new_state.count()
+                plan = new_state._jdf.queryExecution().executedPlan().toString()
+            state = loop.step(new_state, it, eager=False)
+        state.count()
+        e.unpersist()
+        e_src.unpersist()
+        import re
+
+        final = plan.split("== Initial Plan ==")[0]
+        lines = final.splitlines()
+        pat = re.compile(
+            r"Exchange hashpartitioning\((?:src|dst)#\d+L?, \d+\), ENSURE_REQUIREMENTS"
+        )
+        offending = []
+        matched = 0
+        for i, line in enumerate(lines):
+            if not pat.search(line):
+                continue
+            matched += 1
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            # allowed: the contribution aggregation's shuffle, whose
+            # child is the map-side partial combine (combiner-reduced
+            # payload, not edge-sized)
+            if "HashAggregate" in child and "partial_" in child:
+                continue
+            offending.append(line.strip())
+        assert not offending, offending
+        # and we must have matched the real loop shape (the agg
+        # exchange exists), not an accidentally-broadcasted toy plan
+        assert matched > 0, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
