@@ -189,6 +189,37 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(testdata.derived_pagerank_edges(spark, sf_dir), k=KCORE_K)
 
 
+KTRUSS_K = 5  # on the sf0.01 iter graph: 14134 -> 13428 edges over a
+# 4-round peel (k>=6 empties the graph, k=4 converges in 1 round)
+KTRUSS_ORACLE_ROUNDS = 6  # fixpoint at 4; overshoot rounds are no-ops
+
+
+def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.truss import edge_support
+
+    return edge_support(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.truss import k_truss
+
+    return k_truss(testdata.derived_pagerank_edges(spark, sf_dir), k=KTRUSS_K)
+
+
+def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.truss import triangle_list
+
+    return triangle_list(testdata.derived_edges(spark, sf_dir), limit=100)
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(testdata.derived_edges(spark, sf_dir))
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.dedup import (
         simhash_near_pairs,
@@ -426,6 +457,22 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -561,6 +608,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
+        "graph_edge_support": _q_edge_support,
+        "graph_ktruss": _q_ktruss,
+        "graph_triangle_list": _q_triangle_list,
+        "graph_assortativity": _q_assortativity,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
@@ -591,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_stratified": _q_stratified_sample,
         "text_corpus_stats": _q_corpus_stats,
         "text_filtered_corpus": _q_filtered_corpus,
+        "text_repetition_stats": _q_repetition_stats,
+        "text_tfidf_top_terms": _q_tfidf_top_terms,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
@@ -625,6 +678,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": oracles.kcore_sql(
             k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()
         ),
+        "graph_edge_support": oracles.edge_support_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_ktruss": oracles.ktruss_sql(
+            k=KTRUSS_K,
+            rounds=KTRUSS_ORACLE_ROUNDS,
+            raw_sql=testdata.derived_pagerank_edges_sql(),
+        ),
+        "graph_triangle_list": oracles.triangle_list_sql(limit=100),
+        "graph_assortativity": oracles.assortativity_sql(),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),
@@ -680,6 +743,8 @@ def oracle_sql() -> dict[str, str]:
         "text_filtered_corpus": oracles.filtered_corpus_sql(
             min_score=0.5, langs=["en", "de", "fr"]
         ),
+        "text_repetition_stats": oracles.repetition_stats_sql(),
+        "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),

@@ -210,3 +210,72 @@ def test_filtered_corpus_composition(spark):
     for d, r in got.items():
         assert r.lang == langs[d] and r.score == scores[d].score
         assert r.n_tokens == scores[d].n_tokens
+
+
+def test_repetition_stats_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # 4 tokens, 1 distinct, top 'a'=4
+            (1, "w x y z"),          # no repetition
+            (2, "spam spam ham"),    # 3 tokens, 2 distinct, top=2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[0].n_tokens, got[0].distinct_tokens) == (4, 1)
+    assert got[0].dup_token_ppm == (3 * 1000000) // 4
+    assert got[0].top_token_ppm == 1000000
+    assert got[1].dup_token_ppm == 0
+    assert got[1].top_token_ppm == 250000
+    assert got[2].dup_token_ppm == 333333
+    assert got[2].top_token_ppm == 666666
+
+
+def test_repetition_stats_brute_force_corpus(spark):
+    from collections import Counter
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = row.text.strip().lower().split()
+        c = Counter(toks)
+        r = got[row.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.distinct_tokens == len(c)
+        assert r.top_token_ppm == (max(c.values()) * 1000000) // len(toks)
+
+
+def test_tfidf_top_terms_brute_force(spark):
+    from collections import Counter
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = tfidf_top_terms(docs, k=3).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    n = len(texts)
+    tf = {d: Counter(t.strip().lower().split()) for d, t in texts.items()}
+    df = Counter(term for c in tf.values() for term in c)
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r)
+        assert r.tf == tf[r.doc_id][r.term]
+        assert r.df == df[r.term]
+        assert r.score == r.tf * ((n * 1000000) // r.df)
+    for d, rs in got.items():
+        assert len(rs) == 3
+        want = sorted(
+            ((t, c * ((n * 1000000) // df[t])) for t, c in tf[d].items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        assert sorted((r.term, r.score) for r in rs) == sorted(want)

@@ -1,0 +1,146 @@
+"""Edge support, k-truss, triangle listing, assortativity — golden
+graphs plus brute-force differential tests on random graphs."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pytest
+
+from wedge_parallel_triangle_counting_spark.operators.graph import (
+    degree_assortativity,
+)
+from wedge_parallel_triangle_counting_spark.operators.truss import (
+    edge_support,
+    k_truss,
+    triangle_list,
+)
+
+from .conftest import BARBELL, K4, STAR10, edges_df
+
+
+def _und(pairs):
+    return {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+
+def _adj(und):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _brute_support(und):
+    adj = _adj(und)
+    return {
+        (a, b): len(adj.get(a, set()) & adj.get(b, set())) for a, b in und
+    }
+
+
+def _brute_ktruss(und, k):
+    cur = set(und)
+    while True:
+        sup = _brute_support(cur)
+        nxt = {e for e in cur if sup[e] >= k - 2}
+        if nxt == cur:
+            return cur, _brute_support(cur)
+        cur = nxt
+
+
+def _random_graph(seed, n, m):
+    rng = random.Random(seed)
+    return [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+
+def test_edge_support_k4(spark):
+    rows = edge_support(edges_df(spark, K4)).collect()
+    assert len(rows) == 6
+    assert all(r.support == 2 for r in rows)
+
+
+def test_edge_support_barbell_bridge_is_zero(spark):
+    got = {(r.src, r.dst): r.support for r in edge_support(edges_df(spark, BARBELL)).collect()}
+    assert got[(3, 4)] == 0
+    assert got[(0, 1)] == 2
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_edge_support_differential(spark, seed):
+    pairs = _random_graph(seed, 40, 220)
+    und = _und(pairs)
+    want = _brute_support(und)
+    got = {
+        (r.src, r.dst): r.support
+        for r in edge_support(edges_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_ktruss_barbell_drops_bridge(spark):
+    # both K4 cliques are 4-trusses (every edge in 2 triangles);
+    # the bridge edge is in none and is peeled
+    rows = k_truss(edges_df(spark, BARBELL), k=4).collect()
+    got = {(r.src, r.dst) for r in rows}
+    assert got == _und(BARBELL) - {(3, 4)}
+    assert all(r.support == 2 for r in rows)
+
+
+def test_ktruss_k5_empties_k4(spark):
+    # K4 has max support 2, so the 5-truss (support >= 3) is empty
+    assert k_truss(edges_df(spark, K4), k=5).count() == 0
+
+
+@pytest.mark.parametrize("seed,k", [(5, 3), (5, 4), (23, 4)])
+def test_ktruss_differential(spark, seed, k):
+    pairs = _random_graph(seed, 30, 160)
+    want_edges, want_sup = _brute_ktruss(_und(pairs), k)
+    rows = k_truss(edges_df(spark, pairs), k=k).collect()
+    got = {(r.src, r.dst): r.support for r in rows}
+    assert set(got) == want_edges
+    assert got == {e: want_sup[e] for e in want_edges}
+
+
+def test_triangle_list_k4(spark):
+    rows = triangle_list(edges_df(spark, K4), limit=100).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == list(
+        itertools.combinations(range(4), 3)
+    )
+
+
+def test_triangle_list_limit_is_lexicographic_prefix(spark):
+    pairs = _random_graph(7, 25, 140)
+    all_tri = sorted(
+        (a, b, c)
+        for r in [_adj(_und(pairs))]
+        for a, b in _und(pairs)
+        for c in sorted(r.get(a, set()) & r.get(b, set()))
+        if c > b
+    )
+    rows = triangle_list(edges_df(spark, pairs), limit=10).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == all_tri[:10]
+
+
+def test_assortativity_star_is_minus_one(spark):
+    # star: every edge pairs the hub (degree 10) with a leaf
+    # (degree 1) — perfect anticorrelation
+    row = degree_assortativity(edges_df(spark, STAR10)).collect()[0]
+    assert row.n_edge_ends == 20
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_differential_numpy(spark):
+    pairs = _random_graph(13, 50, 300)
+    und = _und(pairs)
+    adj = _adj(und)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
+    assert row.assortativity == pytest.approx(want, abs=2e-6)
+    assert row.n_edge_ends == 2 * len(und)

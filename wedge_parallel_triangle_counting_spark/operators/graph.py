@@ -301,6 +301,50 @@ def degree_histogram(sym_deg: DataFrame) -> DataFrame:
     )
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between the endpoint degrees of every directed edge
+    of the clean symmetric graph. One row:
+    (n_edge_ends, sxy, sxx, assortativity).
+
+    Hash-stable by construction: the sufficient statistics
+    n = 2m, Σx, Σy, Σxy, Σx², Σy² are EXACT bigint aggregates of
+    bigint degrees, emitted as the centered integer moments
+    sxy = n·Σxy − Σx·Σy and sxx = n·Σx² − (Σx)² (symmetric graph ⇒
+    the y-moment equals sxx), and the double coefficient is derived
+    from those integers with the identical expression on the DuckDB
+    oracle side. Plan: degree agg + two broadcast-or-shuffle joins +
+    one global agg — output is 1 row at any scale."""
+    sym = symmetrize(normalize_edges(edges))
+    deg = degrees(sym)
+    ends = (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("degree").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("y")), "dst")
+    )
+    stats = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("pxy"),
+        F.sum(F.col("x") * F.col("x")).alias("pxx"),
+        F.sum(F.col("y") * F.col("y")).alias("pyy"),
+    )
+    n = F.col("n")
+    sxy = n * F.col("pxy") - F.col("sx") * F.col("sy")
+    sxx = n * F.col("pxx") - F.col("sx") * F.col("sx")
+    syy = n * F.col("pyy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        n.alias("n_edge_ends"),
+        sxy.cast("long").alias("sxy"),
+        sxx.cast("long").alias("sxx"),
+        F.round(
+            sxy.cast("double")
+            / (F.sqrt(sxx.cast("double")) * F.sqrt(syy.cast("double"))),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def adjacency(oriented: DataFrame) -> DataFrame:
     """Grouped adjacency layout → (v, adj sorted array, deg)
     (reference CSR build, tc.cu:658-677 + segmented sort tc.cu:763-784).

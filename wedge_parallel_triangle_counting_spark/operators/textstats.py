@@ -167,6 +167,102 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, n_tokens, distinct_tokens, dup_token_ppm, top_token_ppm).
+
+    dup_token_ppm = fraction of tokens that are repeats of an earlier
+    token; top_token_ppm = share of the single most frequent token —
+    the two classic "degenerate document" filters (boilerplate, SEO
+    spam, template pages). Both emitted as exact integer parts-per-
+    million (bigint DIV arithmetic), hash-stable across engines.
+
+    Plan: one explode + two hash aggregations, both with map-side
+    partial combine; (doc_id, token) then doc_id keys — the second
+    agg reuses the first's clustering prefix. No Python anywhere."""
+    tok_counts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tok_counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_tokens",
+            F.expr(
+                "((n_tokens - distinct_tokens) * 1000000) DIV n_tokens"
+            ).alias("dup_token_ppm"),
+            F.expr("(top_c * 1000000) DIV n_tokens").alias("top_token_ppm"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, caches: list | None = None
+) -> DataFrame:
+    """Top-k most characteristic terms per document:
+    (doc_id, term, tf, df, score).
+
+    score = tf * idf_ppm with idf_ppm = floor(1e6 * N / df) — an
+    integer-arithmetic inverse-document-frequency surrogate (linear,
+    not log) chosen so BOTH engines compute bit-identical bigints (a
+    transcendental ln(N/df) would round differently in the last ulp).
+    Rank within a doc by (score desc, term asc) — a deterministic
+    total order, so the k-boundary is engine-stable.
+
+    Plan: explode → (doc_id, term) tf agg → term-keyed df agg (a
+    vocabulary-sized relation — deliberately NOT broadcast-hinted:
+    a web-scale vocabulary is unbounded, so AQE picks broadcast vs
+    sort-merge from its measured size) joined back → one per-doc
+    window rank. The N scalar rides as a 1-row broadcast crossJoin,
+    the same shape as PageRank's dangling-mass term."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col("doc_id"), F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # read twice: df derivation + the scored join
+    )
+    if caches is not None:
+        caches.append(tf)
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr("tf * ((n_corpus * 1000000) DIV df)").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
 def filtered_corpus(
     docs: DataFrame,
     min_score: float = 0.5,

@@ -272,6 +272,119 @@ def kcore_sql(k: int = 3, rounds: int = 20, raw_sql: str | None = None) -> str:
     )
 
 
+def _und_cte(raw_sql: str) -> str:
+    """Canonical undirected edges (src < dst), cleaned."""
+    return (
+        f"raw AS ({raw_sql}),\n"
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, "
+        "greatest(src, dst) AS dst FROM raw WHERE src <> dst)"
+    )
+
+
+_SUPPORT_TMPL = """{sup} AS MATERIALIZED (
+    SELECT u AS src, v AS dst, count(*) AS s FROM (
+        SELECT t.a AS u, t.b AS v FROM {tri} t
+        UNION ALL SELECT t.a, t.c FROM {tri} t
+        UNION ALL SELECT t.b, t.c FROM {tri} t
+    ) GROUP BY u, v
+)"""
+
+
+def _tri_cte(name: str, edges: str) -> str:
+    """All triangles (a < b < c) of a canonical edge relation, each
+    exactly once (the textbook 3-way join on canonical edges)."""
+    return f"""{name} AS MATERIALIZED (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM {edges} e1
+    JOIN {edges} e2 ON e1.dst = e2.src
+    JOIN {edges} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)"""
+
+
+def edge_support_sql(raw_sql: str | None = None) -> str:
+    """Per-edge triangle support over the canonical undirected graph."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH {_und_cte(raw_sql)},
+{_tri_cte('tri', 'und')},
+{_SUPPORT_TMPL.format(sup='sup', tri='tri')}
+SELECT e.src, e.dst, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+FROM und e LEFT JOIN sup s ON e.src = s.src AND e.dst = s.dst
+""".strip()
+
+
+def triangle_list_sql(limit: int = 100, raw_sql: str | None = None) -> str:
+    """First `limit` triangles in (a, b, c) lexicographic order."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH {_und_cte(raw_sql)},
+{_tri_cte('tri', 'und')}
+SELECT a, b, c FROM tri ORDER BY a, b, c LIMIT {limit}
+""".strip()
+
+
+def ktruss_sql(k: int = 5, rounds: int = 6, raw_sql: str | None = None) -> str:
+    """Unrolled k-truss peel: each round recomputes per-edge triangle
+    support and keeps edges with support >= k-2. `rounds` must be >=
+    the peel's convergence depth (extra rounds are no-ops). Final
+    support is recomputed against the surviving subgraph, matching
+    operators/truss.py::k_truss."""
+    raw_sql = raw_sql or derived_edges_sql()
+    ctes = [_und_cte(raw_sql)]
+    prev = "und"
+    for i in range(1, rounds + 1):
+        ctes.append(_tri_cte(f"tri{i}", prev))
+        ctes.append(_SUPPORT_TMPL.format(sup=f"sup{i}", tri=f"tri{i}"))
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"LEFT JOIN sup{i} s ON e.src = s.src AND e.dst = s.dst "
+            f"WHERE coalesce(s.s, 0) >= {k} - 2)"
+        )
+        prev = f"e{i}"
+    ctes.append(_tri_cte("trif", prev))
+    ctes.append(_SUPPORT_TMPL.format(sup="supf", tri="trif"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.src, e.dst, CAST(coalesce(s.s, 0) AS BIGINT) AS support
+FROM {prev} e LEFT JOIN supf s ON e.src = s.src AND e.dst = s.dst"""
+    )
+
+
+def assortativity_sql(raw_sql: str | None = None) -> str:
+    """Degree assortativity from exact integer sufficient statistics,
+    mirroring operators/graph.py::degree_assortativity (identical
+    double expression over identical bigint moments)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY src),
+ends AS (
+    SELECT dx.degree AS x, dy.degree AS y
+    FROM sym JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v
+),
+stats AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS pxy, sum(x * x) AS pxx, sum(y * y) AS pyy
+    FROM ends
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       CAST(n * pxy - sx * sy AS BIGINT) AS sxy,
+       CAST(n * pxx - sx * sx AS BIGINT) AS sxx,
+       round(CAST(n * pxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * pxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * pyy - sy * sy AS DOUBLE))), 6) AS assortativity
+FROM stats
+""".strip()
+
+
 def simhash_near_pairs_sql(
     bits: int = 32, max_hamming: int = 3, bands: int = 4
 ) -> str:
@@ -703,6 +816,58 @@ def token_count_sql() -> str:
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
 FROM documents
+""".strip()
+
+
+def repetition_stats_sql() -> str:
+    """Mirrors operators/textstats.py::repetition_stats — integer ppm
+    arithmetic, identical tokenization regex."""
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+agg AS (
+    SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS topc
+    FROM tc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(d AS BIGINT) AS distinct_tokens,
+       CAST(((n - d) * 1000000) // n AS BIGINT) AS dup_token_ppm,
+       CAST((topc * 1000000) // n AS BIGINT) AS top_token_ppm
+FROM agg
+""".strip()
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Mirrors operators/textstats.py::tfidf_top_terms — integer idf
+    surrogate floor(1e6·N/df), (score desc, term asc) rank."""
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_corpus FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           tf.tf * ((n.n_corpus * 1000000) // df.df) AS score
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+    ) AS rn
+    FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rn <= {k}
 """.strip()
 
 
