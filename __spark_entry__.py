@@ -212,6 +212,20 @@ def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_list(testdata.derived_edges(spark, sf_dir), limit=100)
 
 
+def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        butterfly_count,
+    )
+
+    return butterfly_count(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import reciprocity
+
+    return reciprocity(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degree_assortativity,
@@ -612,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_ktruss,
         "graph_triangle_list": _q_triangle_list,
         "graph_assortativity": _q_assortativity,
+        "graph_butterflies": _q_butterflies,
+        "graph_reciprocity": _q_reciprocity,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
@@ -688,6 +704,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_triangle_list": oracles.triangle_list_sql(limit=100),
         "graph_assortativity": oracles.assortativity_sql(),
+        "graph_butterflies": oracles.butterfly_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_reciprocity": oracles.reciprocity_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),

@@ -144,3 +144,64 @@ def test_assortativity_differential_numpy(spark):
     row = degree_assortativity(edges_df(spark, pairs)).collect()[0]
     assert row.assortativity == pytest.approx(want, abs=2e-6)
     assert row.n_edge_ends == 2 * len(und)
+
+
+def test_butterflies_c4_and_k4(spark):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        butterfly_count,
+    )
+
+    from .conftest import C4
+
+    r = butterfly_count(edges_df(spark, C4)).collect()[0]
+    assert (r.wedge_pairs, r.coneighbor_pairs, r.four_cycles) == (4, 2, 1)
+    # K4: every one of the 3 perfect matchings closes a 4-cycle
+    r = butterfly_count(edges_df(spark, K4)).collect()[0]
+    assert r.four_cycles == 3
+
+
+def test_butterflies_star_has_none(spark):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        butterfly_count,
+    )
+
+    r = butterfly_count(edges_df(spark, STAR10)).collect()[0]
+    assert r.four_cycles == 0
+    assert r.coneighbor_pairs == 45  # every leaf pair shares the hub
+
+
+@pytest.mark.parametrize("seed", [9, 31])
+def test_butterflies_differential(spark, seed):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        butterfly_count,
+    )
+
+    pairs = _random_graph(seed, 30, 150)
+    und = _und(pairs)
+    adj = _adj(und)
+    vs = sorted(adj)
+    wp = cp = diag = 0
+    for i, u in enumerate(vs):
+        for v in vs[i + 1:]:
+            w = len(adj[u] & adj[v])
+            if w:
+                wp += w
+                cp += 1
+                diag += w * (w - 1) // 2
+    r = butterfly_count(edges_df(spark, pairs)).collect()[0]
+    assert (r.wedge_pairs, r.coneighbor_pairs, r.four_cycles) == (
+        wp,
+        cp,
+        diag // 2,
+    )
+
+
+def test_reciprocity_hand_graph(spark):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import reciprocity
+
+    r = reciprocity(
+        edges_df(spark, [(0, 1), (1, 0), (1, 2), (2, 3), (0, 1), (3, 3)])
+    ).collect()[0]
+    # clean edges: (0,1),(1,0),(1,2),(2,3) — the 0<->1 pair reciprocates
+    assert (r.n_edges, r.n_reciprocal) == (4, 2)
+    assert r.reciprocity_ppm == 500000

@@ -1,0 +1,100 @@
+"""Small-motif statistics beyond triangles: butterflies (4-cycles /
+rectangles) and directed reciprocity.
+
+Butterflies are the wedge primitive's other classic payoff (the
+reference engine is organized entirely around wedges, tc.cu's
+wedge-parallel layout): a butterfly/rectangle is two wedges sharing
+BOTH endpoints. Every 4-cycle owns exactly two diagonal pairs, so
+
+    four_cycles = (Σ_{u<v} C(codeg(u,v), 2)) / 2
+
+where codeg(u, v) = number of common neighbors. The plan enumerates
+each wedge once as an edge-edge self-join keyed by the CENTER vertex
+(the same join shape as the distributed wedge lane,
+operators/triangles.py), hash-aggregates per endpoint pair with
+map-side combine, and folds the closed form — no driver loops, no
+Python.
+
+At 100 TB the wedge relation is the scale risk (Σ d(d-1)/2 explodes
+on hubs). The standard mitigations both compose with this plan:
+degree-capped exact counting per stratum, or the sampled estimator
+(operators/approx.py's wedge-sampling shape applies to butterflies
+unchanged). The exact operator here keeps the full join because its
+output feeds the ORACLE-CHECKED count; callers at web scale should
+cap or sample first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpointing import loop_partitions
+from .truss import canonical_edges
+
+
+def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
+    """One row: (wedge_pairs, coneighbor_pairs, four_cycles).
+
+    wedge_pairs      = Σ_{u<v} codeg(u,v)  (wedges, endpoint-ordered)
+    coneighbor_pairs = #{(u,v): codeg > 0}
+    four_cycles      = Σ_{u<v} C(codeg, 2) / 2  (each 4-cycle once;
+                       the sum counts every cycle's two diagonals)
+    """
+    npart = loop_partitions(edges.sparkSession)
+    und = canonical_edges(edges, npart).persist()  # read 4x below
+    if caches is not None:
+        caches.append(und)
+    # symmetric incidence (center, endpoint) from one cached frame;
+    # self-join on center enumerates each unordered wedge once
+    inc = und.select(F.col("src").alias("c"), F.col("dst").alias("e")).unionByName(
+        und.select(F.col("dst").alias("c"), F.col("src").alias("e"))
+    )
+    left = inc.select("c", F.col("e").alias("u"))
+    right = inc.select("c", F.col("e").alias("v"))
+    wedges = left.join(right, "c").filter(F.col("u") < F.col("v"))
+    codeg = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
+    return codeg.agg(
+        F.sum("w").cast("long").alias("wedge_pairs"),
+        F.count(F.lit(1)).cast("long").alias("coneighbor_pairs"),
+        F.sum(F.expr("w * (w - 1) DIV 2")).cast("long").alias("diag"),
+    ).select(
+        "wedge_pairs",
+        "coneighbor_pairs",
+        # integer halving (the diagonal sum is always even) — stays
+        # exact past 2^53 where a double division would not
+        F.expr("diag DIV 2").alias("four_cycles"),
+    )
+
+
+def reciprocity(edges: DataFrame, caches: list | None = None) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of (cleaned, distinct,
+    non-loop) directed edges whose reverse edge also exists. One row:
+    (n_edges, n_reciprocal, reciprocity_ppm) — integer ppm so the
+    cross-engine compare is exact.
+
+    Plan: distinct directed edges, one left-semi self-join against the
+    flipped frame (both sides hash(src)-clustered), two counts folded
+    into one aggregation via the semi-join indicator."""
+    from .graph import normalize_edges
+
+    e = (
+        normalize_edges(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()  # read 3x: flipped probe, semi-join left, count
+    )
+    if caches is not None:
+        caches.append(e)
+    flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(flipped, ["src", "dst"], "left_semi")
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+    )
+    return stats.select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr("(n_reciprocal * 1000000) DIV n_edges").alias(
+            "reciprocity_ppm"
+        ),
+    )

@@ -352,6 +352,46 @@ FROM {prev} e LEFT JOIN supf s ON e.src = s.src AND e.dst = s.dst"""
     )
 
 
+def butterfly_sql(raw_sql: str | None = None) -> str:
+    """4-cycle (butterfly) count via the diagonal codegree formula,
+    mirroring operators/motifs.py::butterfly_count."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH {_und_cte(raw_sql)},
+inc AS (
+    SELECT src AS c, dst AS e FROM und
+    UNION ALL
+    SELECT dst AS c, src AS e FROM und
+),
+codeg AS (
+    SELECT l.e AS u, r.e AS v, count(*) AS w
+    FROM inc l JOIN inc r ON l.c = r.c AND l.e < r.e
+    GROUP BY l.e, r.e
+)
+SELECT CAST(sum(w) AS BIGINT) AS wedge_pairs,
+       CAST(count(*) AS BIGINT) AS coneighbor_pairs,
+       CAST(sum(w * (w - 1) // 2) // 2 AS BIGINT) AS four_cycles
+FROM codeg
+""".strip()
+
+
+def reciprocity_sql(raw_sql: str | None = None) -> str:
+    """Directed reciprocity in integer ppm, mirroring
+    operators/motifs.py::reciprocity."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+r AS (SELECT count(*) AS n_reciprocal FROM e
+      WHERE EXISTS (SELECT 1 FROM e f WHERE f.src = e.dst AND f.dst = e.src)),
+n AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       CAST((n_reciprocal * 1000000) // n_edges AS BIGINT) AS reciprocity_ppm
+FROM n CROSS JOIN r
+""".strip()
+
+
 def assortativity_sql(raw_sql: str | None = None) -> str:
     """Degree assortativity from exact integer sufficient statistics,
     mirroring operators/graph.py::degree_assortativity (identical
