@@ -606,6 +606,29 @@ def _q_streaming_triangles(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    # real Structured Streaming execution: availableNow replay of the
+    # documents file through the incremental dedup aggregation; oracle
+    # is the plain batch dedup SQL over the same parquet
+    import os
+    import shutil
+    import tempfile
+
+    from wedge_parallel_triangle_counting_spark.streaming.dedup import (
+        run_streaming_dedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src_dir = f"{tmp}/docs"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/part-000.parquet")
+    try:
+        # eagerly materialized, so the replay dir can be removed
+        return run_streaming_dedup(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -670,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessionized": _q_events_sessionized,
         "streaming_triangles": _q_streaming_triangles,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -749,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_host_graph": oracles.host_graph_sql(),
         "ingest_host_pagerank": oracles.host_pagerank_sql(PAGERANK_ITERS),
         "dedup_exact": oracles.dedup_exact_sql(),
+        "streaming_dedup": oracles.prefix_dedup_sql(prefix_tokens=3),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_simhash": oracles.simhash_sql(),

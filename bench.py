@@ -158,6 +158,15 @@ def main() -> None:
     timed("labelprop_3it", lambda: label_propagation(pe, num_iters=3).count())
     timed("ingest_edges", lambda: pages_to_edges(doc_pages(spark, sf_dir))[0].count())
 
+    # round-4 operators, tracked OUTSIDE the headline total so the
+    # cross-round total stays comparable (r1-r3 benched 8 queries)
+    from wedge_parallel_triangle_counting_spark.operators.hits import hits
+
+    t0 = time.perf_counter()
+    hits(pe, num_iters=5).count()
+    extra["hits_5it_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(

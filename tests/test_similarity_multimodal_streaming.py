@@ -441,3 +441,45 @@ def test_derive_axis_nbits_rule():
     assert derive_axis_nbits(500, 1024, 8) == 9  # (499).bit_length()
     assert derive_axis_nbits(10**9, 1024, 8) == 24  # upper clamp
     assert derive_axis_nbits(1, 1024, 8) == 8  # lower clamp, no log(0)
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Incremental dedup aggregation over a MULTI-batch replay equals
+    the batch dedup over the union — including a duplicate whose two
+    members arrive in DIFFERENT files."""
+    import shutil
+
+    from wedge_parallel_triangle_counting_spark.streaming.dedup import (
+        dedup_groups,
+        run_streaming_dedup,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma one"), (1, "alpha beta gamma two"), (2, "unique words here now")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(3, "alpha beta gamma three"), (4, "other text entirely")],
+        "doc_id long, text string",
+    )
+    a.coalesce(1).write.parquet(str(tmp_path / "a"))
+    b.coalesce(1).write.parquet(str(tmp_path / "b"))
+    for i, src in enumerate([tmp_path / "a", tmp_path / "b"]):
+        part = next(src.glob("part-*.parquet"))
+        shutil.copy(part, docs_dir / f"part-{i:03d}.parquet")
+
+    got = {
+        r.text_hash: (r.n_docs, r.keeper)
+        for r in run_streaming_dedup(
+            spark, str(docs_dir), str(tmp_path / "ckpt_dedup")
+        ).collect()
+    }
+    want = {
+        r.text_hash: (r.n_docs, r.keeper)
+        for r in dedup_groups(a.unionByName(b), prefix_tokens=3).collect()
+    }
+    assert got == want
+    # exactly one group: the shared 3-token prefix, spanning files
+    assert list(want.values()) == [(3, 0)]

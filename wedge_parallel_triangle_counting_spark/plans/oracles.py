@@ -777,6 +777,18 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """.strip()
 
 
+def prefix_dedup_sql(prefix_tokens: int = 3) -> str:
+    """Boilerplate-prefix dedup groups — mirrors
+    streaming/dedup.py::dedup_groups(prefix_tokens=n)."""
+    return rf"""
+SELECT md5(array_to_string(
+           list_slice(regexp_split_to_array(trim(lower(text)), '\s+'),
+                      1, {prefix_tokens}), ' ')) AS text_hash,
+       count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""".strip()
+
+
 def ngram_jaccard_sql(threshold: float = 0.5, max_shingle_freq: int = 1000) -> str:
     # mirrors ngram_jaccard_pairs' stop-shingle cutoff (default ON):
     # shingles in more than max_shingle_freq docs are dropped before
