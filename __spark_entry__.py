@@ -226,6 +226,12 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.walks import random_walks
+
+    return random_walks(testdata.derived_pagerank_edges(spark, sf_dir), length=8)
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.graph import (
         degree_assortativity,
@@ -651,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": _q_assortativity,
         "graph_butterflies": _q_butterflies,
         "graph_reciprocity": _q_reciprocity,
+        "graph_random_walks": _q_random_walks,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
@@ -733,6 +740,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_reciprocity": oracles.reciprocity_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_random_walks": oracles.random_walks_sql(
+            length=8, raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()

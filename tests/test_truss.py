@@ -205,3 +205,35 @@ def test_reciprocity_hand_graph(spark):
     # clean edges: (0,1),(1,0),(1,2),(2,3) — the 0<->1 pair reciprocates
     assert (r.n_edges, r.n_reciprocal) == (4, 2)
     assert r.reciprocity_ppm == 500000
+
+
+def test_random_walks_are_valid_and_deterministic(spark):
+    from wedge_parallel_triangle_counting_spark.operators.walks import random_walks
+
+    pairs = _random_graph(41, 25, 120)
+    und = _und(pairs)
+    adj = _adj(und)
+    rows = random_walks(edges_df(spark, pairs), length=6).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.v
+    # one walk per vertex, full length (sym graph has no dead ends)
+    assert set(walks) == set(adj)
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        assert set(steps) == set(range(7))
+        for t in range(1, 7):
+            assert steps[t] in adj[steps[t - 1]]  # every hop is an edge
+    again = random_walks(edges_df(spark, pairs), length=6).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_random_walks_star_alternate_through_hub(spark):
+    from wedge_parallel_triangle_counting_spark.operators.walks import random_walks
+
+    rows = random_walks(edges_df(spark, STAR10), length=5).collect()
+    for r in rows:
+        if r.walk_id == 0:
+            assert (r.v == 0) == (r.step % 2 == 0)
+        else:
+            assert (r.v == 0) == (r.step % 2 == 1)

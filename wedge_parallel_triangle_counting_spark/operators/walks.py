@@ -1,0 +1,85 @@
+"""Deterministic random walks over the symmetric graph — the
+DeepWalk/node2vec corpus generator, the graph-side analogue of the
+text pipeline's sampling operators.
+
+A GNN/embedding training pipeline needs walk corpora at the same
+scale as the edge table, so the generator must be distributed,
+deterministic (re-runnable, resumable, oracle-checkable), and free of
+driver-side RNG state. Each walk starts at a seed vertex; at step t
+the walk at `walk_id` moves to
+
+    adj(v)[ h64("walk:" || walk_id || ":" || t) mod deg(v) ]
+
+with adj sorted ascending and h64 the md5-derived 60-bit integer the
+dedup/sampling operators already use (reproduced verbatim in the
+DuckDB oracle, plans/oracles.py::random_walks_sql). No RNG object, no
+seed broadcast — the "randomness" is a pure column expression.
+
+Plan shape: the adjacency table is built once (one shuffle) and
+persisted; each step is one join of the O(#walks) frontier against it
+plus an element_at — L joins total. The frontier's join key changes
+every step (that is what a walk IS), so one frontier-sized exchange
+per step is inherent; the adjacency side stays put. Dead ends
+(isolated seeds) terminate their walk early via the inner join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpointing import loop_partitions
+from .graph import build_sym_clustered
+
+
+def _h64(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 8,
+    caches: list | None = None,
+) -> DataFrame:
+    """One walk per vertex of the cleaned symmetric graph:
+    (walk_id, step, v) for step 0..length, walk_id = seed vertex."""
+    spark = edges.sparkSession
+    npart = loop_partitions(spark)
+    sym = build_sym_clustered(edges, npart, key="src")
+    adj = (
+        sym.groupBy(F.col("src").alias("v"))
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("adj"),
+            F.count(F.lit(1)).alias("deg"),
+        )
+        .persist()
+    )
+    if caches is not None:
+        caches.append(adj)
+
+    frontier = adj.select(
+        F.col("v").alias("walk_id"), F.lit(0).alias("step"), F.col("v")
+    )
+    out = [frontier]
+    for t in range(1, length + 1):
+        h = _h64(
+            F.concat_ws(
+                ":", F.lit("walk"), F.col("walk_id").cast("string"), F.lit(str(t))
+            )
+        )
+        frontier = (
+            frontier.join(adj, "v")
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.element_at("adj", (h % F.col("deg")).cast("int") + 1).alias(
+                    "v"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out.append(frontier)
+    result = out[0]
+    for f in out[1:]:
+        result = result.unionByName(f)
+    return result.select("walk_id", F.col("step").cast("long"), "v")

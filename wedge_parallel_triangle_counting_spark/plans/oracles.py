@@ -352,6 +352,37 @@ FROM {prev} e LEFT JOIN supf s ON e.src = s.src AND e.dst = s.dst"""
     )
 
 
+def random_walks_sql(length: int = 8, raw_sql: str | None = None) -> str:
+    """Unrolled deterministic random walks, mirroring
+    operators/walks.py::random_walks (same md5-derived step hash,
+    same sorted-adjacency indexing)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM clean UNION "
+        "SELECT dst, src FROM clean)",
+        "adj AS MATERIALIZED (SELECT src AS v, list_sort(list(dst)) AS adj, "
+        "count(*) AS deg FROM sym GROUP BY src)",
+        "w0 AS (SELECT v AS walk_id, 0 AS step, v FROM adj)",
+    ]
+    for t in range(1, length + 1):
+        h = (
+            "('0x' || substr(md5('walk:' || CAST(w.walk_id AS VARCHAR) "
+            f"|| ':{t}'), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT w.walk_id, {t} AS step, "
+            f"a.adj[CAST({h} % a.deg AS INT) + 1] AS v "
+            f"FROM w{t-1} w JOIN adj a ON w.v = a.v)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST(step AS BIGINT) AS step, v FROM w{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def butterfly_sql(raw_sql: str | None = None) -> str:
     """4-cycle (butterfly) count via the diagonal codegree formula,
     mirroring operators/motifs.py::butterfly_count."""
