@@ -226,6 +226,16 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    return harmonic_centrality(
+        testdata.derived_pagerank_edges(spark, sf_dir), seed_pct=5, max_hops=6
+    )
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import random_walks
 
@@ -658,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": _q_butterflies,
         "graph_reciprocity": _q_reciprocity,
         "graph_random_walks": _q_random_walks,
+        "graph_harmonic": _q_harmonic,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
@@ -743,6 +754,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_random_walks": oracles.random_walks_sql(
             length=8, raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_harmonic": oracles.harmonic_sql(
+            testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
         ),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()

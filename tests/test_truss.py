@@ -237,3 +237,51 @@ def test_random_walks_star_alternate_through_hub(spark):
             assert (r.v == 0) == (r.step % 2 == 0)
         else:
             assert (r.v == 0) == (r.step % 2 == 1)
+
+
+def test_harmonic_differential(spark):
+    from collections import deque
+
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    pairs = _random_graph(19, 40, 120)
+    und = _und(pairs)
+    adj = _adj(und)
+    rows = harmonic_centrality(
+        edges_df(spark, pairs), seed_pct=40, max_hops=5
+    ).collect()
+    got = {r.seed: (r.n_reached, r.harmonic_micro) for r in rows}
+    assert len(got) > 0
+    for s in got:
+        # brute-force BFS to depth 5
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == 5:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        want_n = len(dist) - 1
+        want_h = sum(1000000 // d for v, d in dist.items() if d > 0)
+        assert got[s] == (want_n, want_h)
+
+
+def test_harmonic_two_components_stay_separate(spark):
+    from .conftest import TWO_COMP
+
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    rows = harmonic_centrality(
+        edges_df(spark, TWO_COMP), seed_pct=100, max_hops=6
+    ).collect()
+    assert len(rows) == 6  # every vertex sampled at 100%
+    for r in rows:
+        # each triangle component: 2 neighbors at distance 1
+        assert (r.n_reached, r.harmonic_micro) == (2, 2000000)

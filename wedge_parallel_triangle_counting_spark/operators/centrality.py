@@ -1,0 +1,106 @@
+"""Harmonic (closeness-family) centrality from a deterministic seed
+sample — multi-source BFS as one composite-keyed frontier loop.
+
+Exact closeness needs all-pairs distances (O(n·m) — not a 100-TB
+query); the standard estimator runs BFS from a sampled seed set. The
+seed sample here is the same md5-threshold predicate the text
+pipeline's stratified sampler uses (pure column expression, no RNG
+state, identical in the DuckDB oracle), and ALL sampled sources run
+in ONE level-synchronous loop over a (seed, v) composite state —
+s independent BFS loops would pay s× the per-round job latency; the
+composite frontier amortizes every round across all seeds (the
+textbook MS-BFS layout).
+
+harmonic(s) = Σ_{v ≠ s reachable within max_hops} 1/d(s,v), emitted
+as exact integer micro-units (Σ 1e6 DIV d) so the cross-engine
+compare is representation-stable.
+
+Scale shape: per round one join of the composite frontier against the
+src-clustered symmetric edge table + one (seed, v) anti-join against
+the settled set; state is O(seeds × reached). Seeds scale by the
+sample percentage, independent of graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .checkpointing import CheckpointedLoop, loop_partitions
+from .graph import build_sym_clustered
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seed_pct: int = 5,
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(seed, n_reached, harmonic_micro) for every sampled seed;
+    n_reached excludes the seed itself."""
+    spark = edges.sparkSession
+    npart = loop_partitions(spark)
+    sym = build_sym_clustered(edges, npart, key="src").persist()
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hc:"), F.col("src").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .filter(h % 100 < seed_pct)
+        .select(F.col("src").alias("s"))
+    )
+
+    loop = CheckpointedLoop(
+        spark,
+        "harmonic",
+        checkpoint_dir,
+        checkpoint_every,
+        fingerprint=(
+            {"seed_pct": seed_pct, "max_hops": max_hops, "sym_edges": sym.count()}
+            if checkpoint_dir
+            else None
+        ),
+    )
+    dist = seeds.select(
+        "s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops")
+    ).repartition(npart, "v")
+    frontier = dist
+    for it in range(max_hops):
+        nbrs = (
+            sym.join(frontier.select("s", "v"), sym.src == F.col("v"))
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+        )
+        new_frontier = nbrs.join(dist, ["s", "v"], "left_anti").select(
+            "s", "v", F.lit(it + 1).cast("long").alias("hops")
+        )
+        dist = loop.step(dist.unionByName(new_frontier), it, eager=False)
+        frontier = new_frontier.localCheckpoint(eager=False)
+        n_new = frontier.count()
+        loop.history[-1]["extra"]["frontier"] = n_new
+        if n_new == 0:
+            break
+    out = (
+        dist.filter(F.col("hops") > 0)
+        .groupBy(F.col("s").alias("seed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("1000000 DIV hops")).alias("harmonic_micro"),
+        )
+        # seeds that reach nothing (isolated after cleaning) still
+        # appear, with zeros — join back against the seed table
+        .join(seeds.select(F.col("s").alias("seed")), "seed", "right")
+        .select(
+            "seed",
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+            F.coalesce("harmonic_micro", F.lit(0)).alias("harmonic_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym.unpersist()
+    return out

@@ -665,6 +665,45 @@ SELECT v, CAST(MIN(d) AS BIGINT) AS hops FROM reach GROUP BY v
 """.strip()
 
 
+def harmonic_sql(
+    raw_sql: str, seed_pct: int = 5, max_hops: int = 6
+) -> str:
+    """Multi-source depth-capped reachability, mirroring
+    operators/centrality.py::harmonic_centrality (same md5-threshold
+    seed sample, integer micro harmonic sum)."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+seeds AS (
+    SELECT DISTINCT src AS s FROM sym
+    WHERE ('0x' || substr(md5('hc:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < {seed_pct}
+),
+reach(s, v, d) AS (
+    SELECT s, s, 0 FROM seeds
+    UNION
+    SELECT reach.s, e.dst, reach.d + 1
+    FROM reach JOIN sym e ON e.src = reach.v
+    WHERE reach.d < {max_hops}
+),
+dist AS (SELECT s, v, MIN(d) AS hops FROM reach GROUP BY s, v),
+agg AS (
+    SELECT s AS seed, count(*) AS n_reached,
+           sum(1000000 // hops) AS harmonic_micro
+    FROM dist WHERE hops > 0 GROUP BY s
+)
+SELECT seeds.s AS seed,
+       CAST(coalesce(n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(harmonic_micro, 0) AS BIGINT) AS harmonic_micro
+FROM seeds LEFT JOIN agg ON seeds.s = agg.seed
+""".strip()
+
+
 def labelprop_sql(raw_sql: str, num_iters: int) -> str:
     """Synchronous LPA with min-label tie-break, iterations unrolled."""
     ctes = [
