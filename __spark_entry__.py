@@ -226,6 +226,19 @@ def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        bipartite_projection,
+    )
+
+    li = testdata.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("left"), F.col("l_partkey").alias("right")
+    )
+    return bipartite_projection(li, k=50, min_weight=2)
+
+
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.centrality import (
         harmonic_centrality,
@@ -669,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": _q_reciprocity,
         "graph_random_walks": _q_random_walks,
         "graph_harmonic": _q_harmonic,
+        "graph_bipartite_projection": _q_bipartite_projection,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "pagerank": _q_pagerank,
@@ -757,6 +771,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_harmonic": oracles.harmonic_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
+        ),
+        "graph_bipartite_projection": oracles.bipartite_projection_sql(
+            k=50, min_weight=2
         ),
         "graph_link_prediction": oracles.common_neighbor_pairs_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()

@@ -285,3 +285,24 @@ def test_harmonic_two_components_stay_separate(spark):
     for r in rows:
         # each triangle component: 2 neighbors at distance 1
         assert (r.n_reached, r.harmonic_micro) == (2, 2000000)
+
+
+def test_bipartite_projection_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        bipartite_projection,
+    )
+
+    # orders {10: (a,b,c), 11: (a,b), 12: (a,b)} -> ab=3, ac=1, bc=1
+    rows = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (10, "c"), (11, "a"), (11, "b"),
+         (12, "a"), (12, "b"), (12, "a")],
+        "left long, right string",
+    )
+    got = [
+        (r.u, r.v, r.weight)
+        for r in bipartite_projection(rows, k=10, min_weight=1).collect()
+    ]
+    assert got == [("a", "b", 3), ("a", "c", 1), ("b", "c", 1)]
+    # min_weight prunes the tail
+    got2 = bipartite_projection(rows, k=10, min_weight=2).collect()
+    assert [(r.u, r.v, r.weight) for r in got2] == [("a", "b", 3)]

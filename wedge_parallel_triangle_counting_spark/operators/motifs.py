@@ -67,6 +67,47 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
     )
 
 
+def bipartite_projection(
+    pairs: DataFrame,
+    k: int = 50,
+    min_weight: int = 2,
+    caches: list | None = None,
+) -> DataFrame:
+    """Weighted one-mode projection of a bipartite relation
+    (left, right): the top-k (u, v, weight) pairs of RIGHT-side
+    entities ranked by co-occurrence weight = #shared left entities.
+    Deterministic order (weight desc, u, v); ties at the k-boundary
+    are resolved by the full ordering so the cut is engine-stable.
+
+    This is the purest wedge-parallel workload (the reference's name):
+    every left entity of degree d contributes C(d, 2) wedges, and the
+    projection IS the wedge-endpoint aggregation. Plan: distinct
+    incidence → self-join keyed by the left entity → (u < v) pair agg
+    with map-side combine → TakeOrderedAndProject.
+
+    At web scale the d² blowup on hub left-entities is the risk —
+    `min_weight` prunes the long tail AFTER aggregation (exactness
+    kept), and the standard cap/sample mitigations compose upstream
+    (the same story as butterfly_count)."""
+    inc = (
+        pairs.select(F.col("left").alias("l"), F.col("right").alias("r"))
+        .dropDuplicates(["l", "r"])
+        .persist()
+    )
+    if caches is not None:
+        caches.append(inc)
+    a = inc.select("l", F.col("r").alias("u"))
+    b = inc.select("l", F.col("r").alias("v"))
+    proj = (
+        a.join(b, "l")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+    return proj.orderBy(F.desc("weight"), "u", "v").limit(k)
+
+
 def reciprocity(edges: DataFrame, caches: list | None = None) -> DataFrame:
     """Directed-graph reciprocity: the fraction of (cleaned, distinct,
     non-loop) directed edges whose reverse edge also exists. One row:

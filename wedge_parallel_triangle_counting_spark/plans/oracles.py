@@ -406,6 +406,28 @@ FROM codeg
 """.strip()
 
 
+def bipartite_projection_sql(
+    k: int = 50, min_weight: int = 2, raw_sql: str | None = None
+) -> str:
+    """Mirrors operators/motifs.py::bipartite_projection over the
+    lineitem (orderkey, partkey) bipartite relation."""
+    raw_sql = raw_sql or (
+        "SELECT l_orderkey AS left, l_partkey AS right FROM lineitem"
+    )
+    return f"""
+WITH raw AS ({raw_sql}),
+inc AS MATERIALIZED (SELECT DISTINCT "left" AS l, "right" AS r FROM raw),
+proj AS (
+    SELECT a.r AS u, b.r AS v, count(*) AS weight
+    FROM inc a JOIN inc b ON a.l = b.l AND a.r < b.r
+    GROUP BY a.r, b.r
+    HAVING count(*) >= {min_weight}
+)
+SELECT u, v, CAST(weight AS BIGINT) AS weight
+FROM proj ORDER BY weight DESC, u, v LIMIT {k}
+""".strip()
+
+
 def reciprocity_sql(raw_sql: str | None = None) -> str:
     """Directed reciprocity in integer ppm, mirroring
     operators/motifs.py::reciprocity."""
