@@ -500,6 +500,20 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_top_ngrams(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=3, k=100)
+
+
+def _q_token_percentiles(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        token_percentiles,
+    )
+
+    return token_percentiles(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         repetition_stats,
@@ -715,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filtered_corpus": _q_filtered_corpus,
         "text_repetition_stats": _q_repetition_stats,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
+        "text_top_ngrams": _q_top_ngrams,
+        "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
@@ -833,6 +849,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_repetition_stats": oracles.repetition_stats_sql(),
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
+        "text_top_ngrams": oracles.top_ngrams_sql(k=100),
+        "text_token_percentiles": oracles.token_percentiles_sql(),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),

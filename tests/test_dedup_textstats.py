@@ -279,3 +279,40 @@ def test_tfidf_top_terms_brute_force(spark):
             key=lambda x: (-x[1], x[0]),
         )[:3]
         assert sorted((r.term, r.score) for r in rs) == sorted(want)
+
+
+def test_top_ngrams_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # shingles: "a b c", "b c d"
+            (1, "a b c"),         # "a b c"
+            (2, "x y"),           # too short, none
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.shingle, r.n_docs) for r in top_ngrams(df, k=10).collect()]
+    assert got == [("a b c", 2), ("b c d", 1)]
+
+
+def test_token_percentiles_brute_force(spark):
+    import math
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        token_percentiles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.lang: r for r in token_percentiles(docs).collect()}
+    by_lang = {}
+    for r in docs.select("lang", "text").collect():
+        by_lang.setdefault(r.lang, []).append(len(r.text.strip().lower().split()))
+    assert set(got) == set(by_lang)
+    for lang, ts in by_lang.items():
+        ts.sort()
+        n = len(ts)
+        r = got[lang]
+        assert r.n_docs == n
+        for p, col in ((0.5, r.p50_tokens), (0.9, r.p90_tokens), (0.99, r.p99_tokens)):
+            assert col == ts[math.ceil(n * p) - 1]

@@ -144,3 +144,45 @@ def test_hub_chunk_rows_match_loop_reference(pairs, split_budget):
         for lo in range(0, d - 1, c):
             want.add((v, adj, d, lo, min(lo + c, d - 1)))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=edge_lists)
+def test_truss_invariants(spark, pairs):
+    """Invariants tying the r4 motif layer to the triangle kernel:
+    Σ support = 3·T (each triangle has 3 edges), triangle listing
+    cardinality = T, and the 3-truss contains every edge with
+    support > 0 post-peel-stability checks."""
+    from wedge_parallel_triangle_counting_spark.operators.truss import (
+        edge_support,
+        enumerate_triangles,
+        canonical_edges,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.checkpointing import (
+        loop_partitions,
+    )
+
+    t_brute = _brute(pairs)
+    sup = edge_support(edges_df(spark, pairs)).collect()
+    assert sum(r.support for r in sup) == 3 * t_brute
+    und = canonical_edges(edges_df(spark, pairs), loop_partitions(spark))
+    assert enumerate_triangles(und).count() == t_brute
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=edge_lists)
+def test_butterfly_wedge_identity(spark, pairs):
+    """Σ_{u<v} codeg(u,v) over endpoint pairs equals the total wedge
+    count Σ_c C(deg(c), 2) — the two ways of counting wedges."""
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        butterfly_count,
+    )
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    r = butterfly_count(edges_df(spark, pairs)).collect()[0]
+    assert r.wedge_pairs == wedges

@@ -55,9 +55,13 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
     wedges = left.join(right, "c").filter(F.col("u") < F.col("v"))
     codeg = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
     return codeg.agg(
-        F.sum("w").cast("long").alias("wedge_pairs"),
+        # coalesce: a wedge-free graph (e.g. a perfect matching) has
+        # an EMPTY codeg relation and sum() would be NULL
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("wedge_pairs"),
         F.count(F.lit(1)).cast("long").alias("coneighbor_pairs"),
-        F.sum(F.expr("w * (w - 1) DIV 2")).cast("long").alias("diag"),
+        F.coalesce(F.sum(F.expr("w * (w - 1) DIV 2")), F.lit(0))
+        .cast("long")
+        .alias("diag"),
     ).select(
         "wedge_pairs",
         "coneighbor_pairs",

@@ -263,6 +263,62 @@ def tfidf_top_terms(
     )
 
 
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
+    """Corpus-wide top-k token n-grams by document frequency:
+    (shingle, n_docs) — the tokenizer-planning / boilerplate-discovery
+    statistic (which n-grams dominate the corpus).
+
+    Reuses the dedup pipeline's shingle extraction (distinct n-grams
+    per doc), one combined count aggregation, total-order top-k
+    (n_docs desc, shingle asc) so the k-boundary is engine-stable."""
+    from .dedup import shingles
+
+    sh = shingles(docs, n=n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.orderBy(F.desc("n_docs"), F.asc("shingle")).limit(k)
+
+
+def token_percentiles(
+    docs: DataFrame, stratum_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Exact discrete token-count percentiles per language:
+    (lang, n_docs, p50_tokens, p90_tokens, p99_tokens) — the dataset-
+    card length distribution, computed WITHOUT interpolation so both
+    engines agree bit-for-bit (quantile_cont/percentile interpolate
+    doubles differently; the discrete rank statistic is an integer).
+
+    Percentile definition (inverse empirical CDF): the value at rank
+    ceil(p·n) of the ascending sort, i.e. the smallest x with
+    CDF(x) >= p. Plan: one (lang, n_tokens) projection, a per-lang
+    window rank, and a filter-join — output is #languages rows."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(stratum_col).alias("lang"),
+        F.size(_tokens(F.col(text_col))).cast("long").alias("t"),
+    )
+    w = Window.partitionBy("lang").orderBy("t")
+    ranked = toks.select(
+        "lang",
+        "t",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    out = ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.5), F.col("t"))).alias(
+            "p50_tokens"
+        ),
+        F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.9), F.col("t"))).alias(
+            "p90_tokens"
+        ),
+        F.min(F.when(F.col("rn") >= F.ceil(F.col("n") * 0.99), F.col("t"))).alias(
+            "p99_tokens"
+        ),
+    )
+    return out
+
+
 def filtered_corpus(
     docs: DataFrame,
     min_score: float = 0.5,

@@ -399,9 +399,9 @@ codeg AS (
     FROM inc l JOIN inc r ON l.c = r.c AND l.e < r.e
     GROUP BY l.e, r.e
 )
-SELECT CAST(sum(w) AS BIGINT) AS wedge_pairs,
+SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS wedge_pairs,
        CAST(count(*) AS BIGINT) AS coneighbor_pairs,
-       CAST(sum(w * (w - 1) // 2) // 2 AS BIGINT) AS four_cycles
+       CAST(coalesce(sum(w * (w - 1) // 2), 0) // 2 AS BIGINT) AS four_cycles
 FROM codeg
 """.strip()
 
@@ -841,6 +841,41 @@ sh AS (
 
 def _h64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def top_ngrams_sql(k: int = 100) -> str:
+    """Mirrors operators/textstats.py::top_ngrams (3-grams, document
+    frequency, total-order top-k)."""
+    return f"""
+WITH {_SHINGLE_CTE}
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY shingle
+ORDER BY n_docs DESC, shingle ASC LIMIT {k}
+""".strip()
+
+
+def token_percentiles_sql() -> str:
+    """Mirrors operators/textstats.py::token_percentiles — the exact
+    discrete (inverse-CDF) rank statistic, no interpolation."""
+    return r"""
+WITH toks AS (
+    SELECT lang,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS t
+    FROM documents
+),
+ranked AS (
+    SELECT lang, t,
+           row_number() OVER (PARTITION BY lang ORDER BY t) AS rn,
+           count(*) OVER (PARTITION BY lang) AS n
+    FROM toks
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN rn >= ceil(n * 0.5) THEN t END) AS BIGINT) AS p50_tokens,
+       CAST(min(CASE WHEN rn >= ceil(n * 0.9) THEN t END) AS BIGINT) AS p90_tokens,
+       CAST(min(CASE WHEN rn >= ceil(n * 0.99) THEN t END) AS BIGINT) AS p99_tokens
+FROM ranked GROUP BY lang
+""".strip()
 
 
 def host_graph_sql() -> str:
