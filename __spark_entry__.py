@@ -239,6 +239,14 @@ def _q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_projection(li, k=50, min_weight=2)
 
 
+def _q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.walks import (
+        sample_neighbors,
+    )
+
+    return sample_neighbors(testdata.derived_pagerank_edges(spark, sf_dir), k=5)
+
+
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.centrality import (
         harmonic_centrality,
@@ -695,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": _q_butterflies,
         "graph_reciprocity": _q_reciprocity,
         "graph_random_walks": _q_random_walks,
+        "graph_sample_neighbors": _q_sample_neighbors,
         "graph_harmonic": _q_harmonic,
         "graph_bipartite_projection": _q_bipartite_projection,
         "graph_link_prediction": _q_link_prediction,
@@ -784,6 +793,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_random_walks": oracles.random_walks_sql(
             length=8, raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_sample_neighbors": oracles.sample_neighbors_sql(
+            k=5, raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "graph_harmonic": oracles.harmonic_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6

@@ -306,3 +306,26 @@ def test_bipartite_projection_hand_check(spark):
     # min_weight prunes the tail
     got2 = bipartite_projection(rows, k=10, min_weight=2).collect()
     assert [(r.u, r.v, r.weight) for r in got2] == [("a", "b", 3)]
+
+
+def test_sample_neighbors_invariants(spark):
+    from wedge_parallel_triangle_counting_spark.operators.walks import (
+        sample_neighbors,
+    )
+
+    pairs = _random_graph(53, 30, 200)
+    und = _und(pairs)
+    adj = _adj(und)
+    rows = sample_neighbors(edges_df(spark, pairs), k=4).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r.v, []).append(r)
+    assert set(by_v) == set(adj)
+    for v, rs in by_v.items():
+        assert len(rs) == min(len(adj[v]), 4)  # at most k, all if deg<k
+        assert all(r.deg == len(adj[v]) for r in rs)
+        nbrs = {r.nbr for r in rs}
+        assert len(nbrs) == len(rs)  # no repeats
+        assert nbrs <= adj[v]  # subset of the true neighborhood
+    again = sample_neighbors(edges_df(spark, pairs), k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -36,6 +36,47 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def sample_neighbors(
+    edges: DataFrame, k: int = 5, caches: list | None = None
+) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling: for every
+    vertex, at most k neighbors chosen by ranking the adjacency under
+    the md5 hash of (v, neighbor) — a pseudo-random but re-runnable
+    and oracle-reproducible subset (GNN minibatch prep at corpus
+    scale must not depend on partitioning or RNG state).
+
+    Returns one row per sampled edge end: (v, deg, nbr) — at most k
+    rows per vertex, scalar columns (a consumer re-aggregates into
+    whatever minibatch layout it needs). Plan: the symmetric edge
+    table, one per-vertex window rank over the hash (the shuffle is
+    the window's hash(v) exchange — edge-sized once, like the
+    adjacency build), filter rank <= k. Hub vertices cost
+    O(deg log deg) in the window sort but emit only k rows
+    downstream — the sampling IS the skew bound for the consumer."""
+    from pyspark.sql import Window
+
+    npart = loop_partitions(edges.sparkSession)
+    sym = build_sym_clustered(edges, npart, key="src")
+    h = _h64(
+        F.concat_ws(
+            ":",
+            F.lit("nbr"),
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+        )
+    )
+    w = Window.partitionBy("src")
+    ranked = sym.select(
+        "src",
+        "dst",
+        F.row_number().over(w.orderBy(h.asc(), F.col("dst").asc())).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("deg"),
+    )
+    return ranked.filter(F.col("rn") <= k).select(
+        F.col("src").alias("v"), F.col("deg"), F.col("dst").alias("nbr")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 8,

@@ -383,6 +383,32 @@ def random_walks_sql(length: int = 8, raw_sql: str | None = None) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def sample_neighbors_sql(k: int = 5, raw_sql: str | None = None) -> str:
+    """Mirrors operators/walks.py::sample_neighbors (same md5 rank)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    h = (
+        "('0x' || substr(md5('nbr:' || CAST(src AS VARCHAR) || ':' || "
+        "CAST(dst AS VARCHAR)), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst, src FROM clean
+),
+ranked AS (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY {h}, dst) AS rn,
+           count(*) OVER (PARTITION BY src) AS deg
+    FROM sym
+)
+SELECT src AS v, CAST(deg AS BIGINT) AS deg, dst AS nbr
+FROM ranked WHERE rn <= {k}
+""".strip()
+
+
 def butterfly_sql(raw_sql: str | None = None) -> str:
     """4-cycle (butterfly) count via the diagonal codegree formula,
     mirroring operators/motifs.py::butterfly_count."""
