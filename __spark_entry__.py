@@ -239,6 +239,14 @@ def _q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bipartite_projection(li, k=50, min_weight=2)
 
 
+def _q_tetrahedra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        tetrahedron_count,
+    )
+
+    return tetrahedron_count(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import (
         sample_neighbors,
@@ -701,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangle_list": _q_triangle_list,
         "graph_assortativity": _q_assortativity,
         "graph_butterflies": _q_butterflies,
+        "graph_tetrahedra": _q_tetrahedra,
         "graph_reciprocity": _q_reciprocity,
         "graph_random_walks": _q_random_walks,
         "graph_sample_neighbors": _q_sample_neighbors,
@@ -786,6 +795,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangle_list": oracles.triangle_list_sql(limit=100),
         "graph_assortativity": oracles.assortativity_sql(),
         "graph_butterflies": oracles.butterfly_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_tetrahedra": oracles.tetrahedron_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "graph_reciprocity": oracles.reciprocity_sql(

@@ -329,3 +329,31 @@ def test_sample_neighbors_invariants(spark):
         assert nbrs <= adj[v]  # subset of the true neighborhood
     again = sample_neighbors(edges_df(spark, pairs), k=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_tetrahedra_golden_and_differential(spark):
+    import itertools as it
+
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        tetrahedron_count,
+    )
+
+    from .conftest import K5
+
+    r = tetrahedron_count(edges_df(spark, K4)).collect()[0]
+    assert (r.triangles, r.tetrahedra) == (4, 1)
+    r = tetrahedron_count(edges_df(spark, K5)).collect()[0]
+    assert (r.triangles, r.tetrahedra) == (10, 5)  # C(5,3), C(5,4)
+    r = tetrahedron_count(edges_df(spark, BARBELL)).collect()[0]
+    assert (r.triangles, r.tetrahedra) == (8, 2)
+
+    pairs = _random_graph(61, 18, 110)
+    und = _und(pairs)
+    adj = _adj(und)
+    want = sum(
+        1
+        for a, b, c, d in it.combinations(sorted(adj), 4)
+        if {(a, b), (a, c), (a, d), (b, c), (b, d), (c, d)} <= und
+    )
+    r = tetrahedron_count(edges_df(spark, pairs)).collect()[0]
+    assert r.tetrahedra == want

@@ -71,6 +71,43 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
     )
 
 
+def tetrahedron_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
+    """Exact 4-clique (K4) count, one row: (triangles, tetrahedra).
+
+    Ordered enumeration on top of the triangle lane: every K4
+    {a<b<c<d} is counted exactly once by extending its lowest
+    triangle (a,b,c) with the vertex d>c adjacent to all three. Plan:
+    triangle enumeration (truss.enumerate_triangles — each triangle
+    once) joined against the canonical edge frame three times, keyed
+    (c,d) then (a,d) then (b,d); all equi-joins, count at the end.
+
+    At 100 TB the triangle relation is the intermediate to watch
+    (3·T rows); it is never wider than (a,b,c) and the first join is
+    keyed on c — the arboricity argument that bounds the oriented
+    triangle lane bounds this too."""
+    from .checkpointing import loop_partitions
+    from .truss import canonical_edges, enumerate_triangles
+
+    npart = loop_partitions(edges.sparkSession)
+    und = canonical_edges(edges, npart).persist()
+    if caches is not None:
+        caches.append(und)
+    tri = enumerate_triangles(und).persist()
+    if caches is not None:
+        caches.append(tri)
+    e_cd = und.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    e_ad = und.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    e_bd = und.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    k4 = (
+        tri.join(e_cd, "c")
+        .join(e_ad, ["a", "d"])
+        .join(e_bd, ["b", "d"])
+        .agg(F.count(F.lit(1)).alias("tetrahedra"))
+    )
+    t = tri.agg(F.count(F.lit(1)).alias("triangles"))
+    return t.crossJoin(F.broadcast(k4)).select("triangles", "tetrahedra")
+
+
 def bipartite_projection(
     pairs: DataFrame,
     k: int = 50,

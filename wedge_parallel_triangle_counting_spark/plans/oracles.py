@@ -432,6 +432,27 @@ FROM codeg
 """.strip()
 
 
+def tetrahedron_sql(raw_sql: str | None = None) -> str:
+    """Mirrors operators/motifs.py::tetrahedron_count — ordered K4
+    extension of the canonical triangle join."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH {_und_cte(raw_sql)},
+{_tri_cte('tri', 'und')},
+k4 AS (
+    SELECT count(*) AS tetrahedra
+    FROM tri
+    JOIN und ecd ON ecd.src = tri.c
+    JOIN und ead ON ead.src = tri.a AND ead.dst = ecd.dst
+    JOIN und ebd ON ebd.src = tri.b AND ebd.dst = ecd.dst
+),
+t AS (SELECT count(*) AS triangles FROM tri)
+SELECT CAST(triangles AS BIGINT) AS triangles,
+       CAST(tetrahedra AS BIGINT) AS tetrahedra
+FROM t CROSS JOIN k4
+""".strip()
+
+
 def bipartite_projection_sql(
     k: int = 50, min_weight: int = 2, raw_sql: str | None = None
 ) -> str:
