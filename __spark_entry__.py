@@ -247,6 +247,16 @@ def _q_tetrahedra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tetrahedron_count(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        hop_histogram,
+    )
+
+    return hop_histogram(
+        testdata.derived_pagerank_edges(spark, sf_dir), seed_pct=5, max_hops=6
+    )
+
+
 def _q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import (
         sample_neighbors,
@@ -516,6 +526,14 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_corpus_mix_report(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        corpus_mix_report,
+    )
+
+    return corpus_mix_report(_docs(spark, sf_dir), min_score=0.5)
+
+
 def _q_top_ngrams(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import top_ngrams
 
@@ -714,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_random_walks": _q_random_walks,
         "graph_sample_neighbors": _q_sample_neighbors,
         "graph_harmonic": _q_harmonic,
+        "graph_hop_histogram": _q_hop_histogram,
         "graph_bipartite_projection": _q_bipartite_projection,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
@@ -748,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": _q_repetition_stats,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
+        "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
@@ -812,6 +832,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": oracles.harmonic_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
         ),
+        "graph_hop_histogram": oracles.hop_histogram_sql(
+            testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
+        ),
         "graph_bipartite_projection": oracles.bipartite_projection_sql(
             k=50, min_weight=2
         ),
@@ -874,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_stats": oracles.repetition_stats_sql(),
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "text_top_ngrams": oracles.top_ngrams_sql(k=100),
+        "text_corpus_mix_report": oracles.corpus_mix_report_sql(min_score=0.5),
         "text_token_percentiles": oracles.token_percentiles_sql(),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP_THRESHOLD

@@ -316,3 +316,21 @@ def test_token_percentiles_brute_force(spark):
         assert r.n_docs == n
         for p, col in ((0.5, r.p50_tokens), (0.9, r.p90_tokens), (0.99, r.p99_tokens)):
             assert col == ts[math.ceil(n * p) - 1]
+
+
+def test_corpus_mix_report_consistent_with_filtered_corpus(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        corpus_mix_report,
+        filtered_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    report = corpus_mix_report(docs, min_score=0.5).collect()
+    kept = filtered_corpus(docs, min_score=0.5).collect()
+    # stratum totals must reconcile with the corpus and the filter
+    assert sum(r.n_docs for r in report) == docs.count()
+    assert sum(r.n_kept for r in report) == len(kept)
+    assert sum(r.kept_tokens for r in report) == sum(r.n_tokens for r in kept)
+    for r in report:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.kept_ppm == (r.n_kept * 1000000) // r.n_docs

@@ -357,3 +357,45 @@ def test_tetrahedra_golden_and_differential(spark):
     )
     r = tetrahedron_count(edges_df(spark, pairs)).collect()[0]
     assert r.tetrahedra == want
+
+
+def test_hop_histogram_matches_harmonic_distances(spark):
+    from collections import deque
+
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        hop_histogram,
+    )
+
+    pairs = _random_graph(67, 35, 110)
+    und = _und(pairs)
+    adj = _adj(und)
+    # brute force: same md5 seed predicate as the operator
+    import hashlib
+
+    seeds = [
+        v
+        for v in adj
+        if int(hashlib.md5(f"hc:{v}".encode()).hexdigest()[:8], 16) % 100 < 40
+    ]
+    want = {}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == 4:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                want[d] = want.get(d, 0) + 1
+    got = {
+        r.hops: r.n_pairs
+        for r in hop_histogram(
+            edges_df(spark, pairs), seed_pct=40, max_hops=4
+        ).collect()
+    }
+    assert got == want

@@ -1,5 +1,6 @@
-"""Harmonic (closeness-family) centrality from a deterministic seed
-sample — multi-source BFS as one composite-keyed frontier loop.
+"""Harmonic (closeness-family) centrality and hop-plot statistics
+from a deterministic seed sample — multi-source BFS as one
+composite-keyed frontier loop.
 
 Exact closeness needs all-pairs distances (O(n·m) — not a 100-TB
 query); the standard estimator runs BFS from a sampled seed set. The
@@ -13,7 +14,8 @@ textbook MS-BFS layout).
 
 harmonic(s) = Σ_{v ≠ s reachable within max_hops} 1/d(s,v), emitted
 as exact integer micro-units (Σ 1e6 DIV d) so the cross-engine
-compare is representation-stable.
+compare is representation-stable. hop_histogram groups the same
+distance table by hop count — the effective-diameter estimator.
 
 Scale shape: per round one join of the composite frontier against the
 src-clustered symmetric edge table + one (seed, v) anti-join against
@@ -30,19 +32,19 @@ from .checkpointing import CheckpointedLoop, loop_partitions
 from .graph import build_sym_clustered
 
 
-def harmonic_centrality(
+def _ms_bfs(
     edges: DataFrame,
-    seed_pct: int = 5,
-    max_hops: int = 6,
+    seed_pct: int,
+    max_hops: int,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
-) -> DataFrame:
-    """(seed, n_reached, harmonic_micro) for every sampled seed;
-    n_reached excludes the seed itself."""
+):
+    """Shared multi-source BFS. Returns (dist, seeds): dist is the
+    eagerly materialized (s, v, hops) distance table, seeds the
+    sampled seed frame (column s)."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
     sym = build_sym_clustered(edges, npart, key="src").persist()
-
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("hc:"), F.col("src").cast("string"))), 1, 8),
         16,
@@ -53,8 +55,8 @@ def harmonic_centrality(
         .distinct()
         .filter(h % 100 < seed_pct)
         .select(F.col("src").alias("s"))
+        .localCheckpoint(eager=False)
     )
-
     loop = CheckpointedLoop(
         spark,
         "harmonic",
@@ -85,7 +87,24 @@ def harmonic_centrality(
         loop.history[-1]["extra"]["frontier"] = n_new
         if n_new == 0:
             break
-    out = (
+    dist = dist.localCheckpoint(eager=True)
+    sym.unpersist()
+    return dist, seeds
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seed_pct: int = 5,
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(seed, n_reached, harmonic_micro) for every sampled seed;
+    n_reached excludes the seed itself."""
+    dist, seeds = _ms_bfs(
+        edges, seed_pct, max_hops, checkpoint_dir, checkpoint_every
+    )
+    return (
         dist.filter(F.col("hops") > 0)
         .groupBy(F.col("s").alias("seed"))
         .agg(
@@ -100,7 +119,23 @@ def harmonic_centrality(
             F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
             F.coalesce("harmonic_micro", F.lit(0)).alias("harmonic_micro"),
         )
-        .localCheckpoint(eager=True)
     )
-    sym.unpersist()
-    return out
+
+
+def hop_histogram(
+    edges: DataFrame,
+    seed_pct: int = 5,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Sampled hop-plot: (hops, n_pairs) — how many (seed, v) pairs
+    sit at each BFS distance, the standard effective-diameter /
+    small-world diagnostic for a web graph (the 90th-percentile hop
+    of this histogram IS the effective diameter estimate). Output is
+    at most max_hops+1 rows at any scale."""
+    dist, _ = _ms_bfs(edges, seed_pct, max_hops)
+    return (
+        dist.filter(F.col("hops") > 0)
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("hops").cast("long"), "n_pairs")
+    )

@@ -263,6 +263,59 @@ def tfidf_top_terms(
     )
 
 
+def corpus_mix_report(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
+    """The dataset-card mix table: per (lang, source) stratum —
+    (lang, source, n_docs, total_tokens, n_kept, kept_tokens,
+    kept_ppm) where "kept" = exact-dedup keeper AND quality score >=
+    min_score (the same contract as filtered_corpus, so this report
+    IS the budget view of that corpus).
+
+    Plan: the fingerprint keeper aggregation + one left-semi-style
+    indicator join + a single (lang, source) rollup with conditional
+    sums — no second pass over the text. kept_ppm is integer DIV
+    arithmetic (hash-stable)."""
+    q = quality_score(docs)
+    fp = fingerprint(docs)
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    flagged = (
+        docs.select("doc_id", "lang", "source")
+        .join(q.select("doc_id", "n_tokens", "score"), "doc_id")
+        .join(
+            keepers.select("doc_id", F.lit(1).alias("is_keeper")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            (
+                (F.col("is_keeper") == 1) & (F.col("score") >= min_score)
+            ).alias("kept"),
+        )
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_kept",
+            "kept_tokens",
+            F.expr("(n_kept * 1000000) DIV n_docs").alias("kept_ppm"),
+        )
+    )
+
+
 def top_ngrams(docs: DataFrame, n: int = 3, k: int = 100) -> DataFrame:
     """Corpus-wide top-k token n-grams by document frequency:
     (shingle, n_docs) — the tokenizer-planning / boilerplate-discovery

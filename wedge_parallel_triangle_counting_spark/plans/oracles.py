@@ -773,6 +773,37 @@ FROM seeds LEFT JOIN agg ON seeds.s = agg.seed
 """.strip()
 
 
+def hop_histogram_sql(
+    raw_sql: str, seed_pct: int = 5, max_hops: int = 6
+) -> str:
+    """Mirrors operators/centrality.py::hop_histogram (same sampled
+    multi-source reachability as harmonic_sql, grouped by distance)."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+seeds AS (
+    SELECT DISTINCT src AS s FROM sym
+    WHERE ('0x' || substr(md5('hc:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < {seed_pct}
+),
+reach(s, v, d) AS (
+    SELECT s, s, 0 FROM seeds
+    UNION
+    SELECT reach.s, e.dst, reach.d + 1
+    FROM reach JOIN sym e ON e.src = reach.v
+    WHERE reach.d < {max_hops}
+),
+dist AS (SELECT s, v, MIN(d) AS hops FROM reach GROUP BY s, v)
+SELECT CAST(hops AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_pairs
+FROM dist WHERE hops > 0 GROUP BY hops
+""".strip()
+
+
 def labelprop_sql(raw_sql: str, num_iters: int) -> str:
     """Synchronous LPA with min-label tie-break, iterations unrolled."""
     ctes = [
@@ -1181,6 +1212,48 @@ ratios AS (
 SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
        round(least(n_tokens / 100.0, 1.0) * (1.0 - punct_ratio), 6) AS score
 FROM ratios
+""".strip()
+
+
+def corpus_mix_report_sql(min_score: float = 0.5) -> str:
+    """Mirrors operators/textstats.py::corpus_mix_report — the same
+    fingerprint keepers, rounded-score threshold, and integer ppm."""
+    return rf"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum_len
+    FROM documents
+),
+q AS (
+    SELECT doc_id, n_tokens,
+           round(least(n_tokens / 100.0, 1.0)
+                 * (1.0 - round((n_chars - alnum_len) / greatest(n_chars, 1), 6)),
+                 6) AS score
+    FROM base
+),
+fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS fp
+    FROM documents
+),
+keepers AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+flagged AS (
+    SELECT d.lang, d.source, q.n_tokens,
+           (k.doc_id IS NOT NULL AND q.score >= {min_score}) AS kept
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    LEFT JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT) AS kept_tokens,
+       CAST((sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS kept_ppm
+FROM flagged GROUP BY lang, source
 """.strip()
 
 
