@@ -212,6 +212,14 @@ def _q_triangle_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_list(testdata.derived_edges(spark, sf_dir), limit=100)
 
 
+def _q_neighbor_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        neighbor_degree_curve,
+    )
+
+    return neighbor_degree_curve(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.motifs import (
         butterfly_count,
@@ -245,6 +253,17 @@ def _q_tetrahedra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return tetrahedron_count(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
+SSSP_ROUNDS = 8
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.sssp import weighted_sssp
+
+    return weighted_sssp(
+        testdata.derived_weighted_edges(spark, sf_dir), max_rounds=SSSP_ROUNDS
+    )
 
 
 def _q_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_ktruss,
         "graph_triangle_list": _q_triangle_list,
         "graph_assortativity": _q_assortativity,
+        "graph_neighbor_degree_curve": _q_neighbor_degree_curve,
         "graph_butterflies": _q_butterflies,
         "graph_tetrahedra": _q_tetrahedra,
         "graph_reciprocity": _q_reciprocity,
@@ -745,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
         "graph_bfs_hops": _q_bfs_hops,
+        "graph_sssp": _q_sssp,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
@@ -814,6 +835,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_triangle_list": oracles.triangle_list_sql(limit=100),
         "graph_assortativity": oracles.assortativity_sql(),
+        "graph_neighbor_degree_curve": oracles.neighbor_degree_curve_sql(
+            raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
         "graph_butterflies": oracles.butterfly_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),
@@ -867,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "labelprop": oracles.labelprop_sql(
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
+        ),
+        "graph_sssp": oracles.sssp_sql(
+            testdata.derived_weighted_edges_sql(), max_rounds=SSSP_ROUNDS
         ),
         "graph_bfs_hops": oracles.bfs_hops_sql(
             testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS

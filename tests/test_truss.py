@@ -399,3 +399,62 @@ def test_hop_histogram_matches_harmonic_distances(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_sssp_differential_dijkstra(spark):
+    import heapq
+
+    from wedge_parallel_triangle_counting_spark.operators.sssp import weighted_sssp
+
+    rng = random.Random(71)
+    rows = [
+        (rng.randrange(20), rng.randrange(20), rng.randrange(1, 9))
+        for _ in range(90)
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    # dedup parallel edges: keep cheapest, drop self loops (operator contract)
+    best = {}
+    for a, b, w in rows:
+        if a != b:
+            best[(a, b)] = min(best.get((a, b), 10**9), w)
+    src0 = min(a for a, _ in best)
+    dist = {src0: 0}
+    pq = [(0, src0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 10**9):
+            continue
+        for (a, b), w in best.items():
+            if a == u and d + w < dist.get(b, 10**9):
+                dist[b] = d + w
+                heapq.heappush(pq, (dist[b], b))
+    got = {r.v: r.dist for r in weighted_sssp(df, max_rounds=25).collect()}
+    assert got == dist  # 25 rounds >= any shortest path's edge count
+
+
+def test_sssp_round_cap_contract(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sssp import weighted_sssp
+
+    # path 0-1-2-3 with unit weights and a heavy shortcut 0->3
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10)],
+        "src long, dst long, w long",
+    )
+    got = {r.v: r.dist for r in weighted_sssp(df, max_rounds=1).collect()}
+    # one round: only direct edges relaxed
+    assert got == {0: 0, 1: 1, 3: 10}
+    got = {r.v: r.dist for r in weighted_sssp(df, max_rounds=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_neighbor_degree_curve_star(spark):
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        neighbor_degree_curve,
+    )
+
+    rows = {r.degree: r for r in neighbor_degree_curve(edges_df(spark, STAR10)).collect()}
+    # leaves (degree 1) see only the hub (degree 10); hub sees leaves
+    assert rows[1].n_vertices == 10
+    assert rows[1].avg_nbr_degree_micro == 10_000_000
+    assert rows[10].n_vertices == 1
+    assert rows[10].avg_nbr_degree_micro == 1_000_000

@@ -345,6 +345,36 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def neighbor_degree_curve(edges: DataFrame) -> DataFrame:
+    """The assortativity PROFILE knn(d): for each degree value d,
+    (degree, n_vertices, avg_nbr_degree_micro) — the mean degree of
+    the neighbors of degree-d vertices, in exact integer micro-units.
+    The curve behind the single coefficient degree_assortativity
+    emits (rising = assortative, falling = hub-periphery). Output is
+    #distinct-degrees rows (≤ a few hundred on a power-law graph)."""
+    sym = symmetrize(normalize_edges(edges))
+    deg = degrees(sym)
+    ends = (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("degree").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("y")), "dst")
+    )
+    per_degree = ends.groupBy(F.col("x").alias("degree")).agg(
+        F.sum("y").alias("sum_nbr_deg"),
+        F.count(F.lit(1)).alias("n_ends"),
+    )
+    n_vertices = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        per_degree.join(n_vertices, "degree")
+        .select(
+            "degree",
+            "n_vertices",
+            F.expr("(sum_nbr_deg * 1000000) DIV n_ends").alias(
+                "avg_nbr_degree_micro"
+            ),
+        )
+    )
+
+
 def adjacency(oriented: DataFrame) -> DataFrame:
     """Grouped adjacency layout → (v, adj sorted array, deg)
     (reference CSR build, tc.cu:658-677 + segmented sort tc.cu:763-784).

@@ -525,6 +525,34 @@ FROM stats
 """.strip()
 
 
+def neighbor_degree_curve_sql(raw_sql: str | None = None) -> str:
+    """Mirrors operators/graph.py::neighbor_degree_curve."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+deg AS (SELECT src AS v, count(*) AS degree FROM sym GROUP BY src),
+ends AS (
+    SELECT dx.degree AS x, dy.degree AS y
+    FROM sym JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v
+),
+per_degree AS (
+    SELECT x AS degree, sum(y) AS sum_nbr_deg, count(*) AS n_ends
+    FROM ends GROUP BY x
+),
+nv AS (SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree)
+SELECT per_degree.degree,
+       CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST((sum_nbr_deg * 1000000) // n_ends AS BIGINT) AS avg_nbr_degree_micro
+FROM per_degree JOIN nv ON per_degree.degree = nv.degree
+""".strip()
+
+
 def simhash_near_pairs_sql(
     bits: int = 32, max_hamming: int = 3, bands: int = 4
 ) -> str:
@@ -802,6 +830,39 @@ dist AS (SELECT s, v, MIN(d) AS hops FROM reach GROUP BY s, v)
 SELECT CAST(hops AS BIGINT) AS hops, CAST(count(*) AS BIGINT) AS n_pairs
 FROM dist WHERE hops > 0 GROUP BY hops
 """.strip()
+
+
+def sssp_sql(raw_sql: str, max_rounds: int = 8) -> str:
+    """Unrolled Bellman-Ford, mirroring operators/sssp.py::
+    weighted_sssp: d_t[v] = min total weight over paths of <= t edges
+    (the engine's frontier-only relaxation provably produces the same
+    per-round table, see the operator docstring), source = min src."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, min(CAST(w AS BIGINT)) AS w "
+        "FROM raw WHERE src <> dst GROUP BY src, dst)",
+        "s AS (SELECT min(src) AS sv FROM e)",
+        "d0 AS (SELECT sv AS v, CAST(0 AS BIGINT) AS dist FROM s "
+        "WHERE sv IS NOT NULL)",
+    ]
+    for t in range(1, max_rounds + 1):
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT e.dst AS v, "
+            f"min(d.dist + e.w) AS cand "
+            f"FROM d{t-1} d JOIN e ON e.src = d.v GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT coalesce(d.v, r.v) AS v, "
+            f"CASE WHEN d.dist IS NULL THEN r.cand "
+            f"WHEN r.cand IS NULL THEN d.dist "
+            f"ELSE least(d.dist, r.cand) END AS dist "
+            f"FROM d{t-1} d FULL JOIN r{t} r ON d.v = r.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, CAST(dist AS BIGINT) AS dist FROM d{max_rounds}"
+    )
 
 
 def labelprop_sql(raw_sql: str, num_iters: int) -> str:
