@@ -604,8 +604,9 @@ def _q_lsh_bucket_pairs(spark, sf_dir):
 # Near-dup cosine bar for the synthetic embeddings: their pairwise
 # cosines top out ~0.51, so the real-corpus default (0.9) would make
 # the oracle check vacuous (0 = 0 rows). 0.35 yields a few hundred
-# verdicts at sf0.01 — a meaningful parity surface (0.35 left only 6
-# after LSH bucket recall).
+# verdicts at sf0.01 — a meaningful parity surface (the tighter 0.35
+# bar left only 6 pairs after LSH bucket recall, so 0.25 is the bar
+# that keeps the cell non-vacuous).
 EMB_NEAR_DUP_THRESHOLD = 0.25
 
 

@@ -458,3 +458,54 @@ def test_neighbor_degree_curve_star(spark):
     assert rows[1].avg_nbr_degree_micro == 10_000_000
     assert rows[10].n_vertices == 1
     assert rows[10].avg_nbr_degree_micro == 1_000_000
+
+
+def test_harmonic_resume_matches_direct(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    pairs = _random_graph(83, 30, 90)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "hc")
+    # early stop after 2 rounds (durable snapshots at rounds 0 and 1)
+    harmonic_centrality(
+        df, seed_pct=40, max_hops=2, checkpoint_dir=ckpt, checkpoint_every=1
+    ).collect()
+    resumed = {
+        r.seed: (r.n_reached, r.harmonic_micro)
+        for r in harmonic_centrality(
+            df,
+            seed_pct=40,
+            max_hops=5,
+            checkpoint_dir=ckpt,
+            checkpoint_every=1,
+            resume=True,
+        ).collect()
+    }
+    direct = {
+        r.seed: (r.n_reached, r.harmonic_micro)
+        for r in harmonic_centrality(df, seed_pct=40, max_hops=5).collect()
+    }
+    assert resumed == direct
+
+
+def test_sssp_resume_matches_direct(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.sssp import weighted_sssp
+
+    rng = random.Random(97)
+    rows = [
+        (rng.randrange(25), rng.randrange(25), rng.randrange(1, 9))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    ckpt = str(tmp_path / "sssp")
+    weighted_sssp(df, max_rounds=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed = {
+        r.v: r.dist
+        for r in weighted_sssp(
+            df, max_rounds=8, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    direct = {r.v: r.dist for r in weighted_sssp(df, max_rounds=8).collect()}
+    assert resumed == direct

@@ -45,6 +45,10 @@ def main() -> int:
             continue
         try:
             got = fn(spark, sf_dir).toPandas()
+            # hygiene: operators release their own scratch caches
+            # (finish_with_caches), but a leak here would otherwise
+            # accumulate across the 70+ queries of a full run
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")

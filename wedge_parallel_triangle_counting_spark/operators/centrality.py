@@ -38,6 +38,7 @@ def _ms_bfs(
     max_hops: int,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ):
     """Shared multi-source BFS. Returns (dist, seeds): dist is the
     eagerly materialized (s, v, hops) distance table, seeds the
@@ -62,17 +63,31 @@ def _ms_bfs(
         "harmonic",
         checkpoint_dir,
         checkpoint_every,
+        # max_hops deliberately NOT fingerprinted: it is a run-length
+        # knob, and resuming with a larger budget is the point
         fingerprint=(
-            {"seed_pct": seed_pct, "max_hops": max_hops, "sym_edges": sym.count()}
+            {"seed_pct": seed_pct, "sym_edges": sym.count()}
             if checkpoint_dir
             else None
         ),
     )
-    dist = seeds.select(
-        "s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops")
-    ).repartition(npart, "v")
-    frontier = dist
-    for it in range(max_hops):
+    start = 0
+    dist = None
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            dist, start = got
+            # the snapshot after iteration i holds rows with
+            # hops <= i+1 and resumes at start = i+1, so the frontier
+            # (rows settled in that last completed round) is exactly
+            # hops == start
+            frontier = dist.filter(F.col("hops") == start)
+    if dist is None:
+        dist = seeds.select(
+            "s", F.col("s").alias("v"), F.lit(0).cast("long").alias("hops")
+        ).repartition(npart, "v")
+        frontier = dist
+    for it in range(start, max_hops):
         nbrs = (
             sym.join(frontier.select("s", "v"), sym.src == F.col("v"))
             .select("s", F.col("dst").alias("v"))
@@ -98,11 +113,12 @@ def harmonic_centrality(
     max_hops: int = 6,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """(seed, n_reached, harmonic_micro) for every sampled seed;
     n_reached excludes the seed itself."""
     dist, seeds = _ms_bfs(
-        edges, seed_pct, max_hops, checkpoint_dir, checkpoint_every
+        edges, seed_pct, max_hops, checkpoint_dir, checkpoint_every, resume
     )
     return (
         dist.filter(F.col("hops") > 0)

@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def finish_with_caches(
+    df: DataFrame, own_caches: list, caches: list | None = None
+) -> DataFrame:
+    """Standard tail for a one-shot operator that persisted scratch
+    frames: if the caller passed a `caches` list (composition mode),
+    hand the persisted frames over and return the LAZY result; else
+    materialize the result eagerly (localCheckpoint) and release the
+    scratch frames immediately, so a session running many queries
+    (the correctness harness runs 70+) never accumulates dead cached
+    blocks."""
+    if caches is not None:
+        caches.extend(own_caches)
+        return df
+    out = df.localCheckpoint(eager=True)
+    for c in own_caches:
+        c.unpersist()
+    return out
+
+
 def loop_partitions(spark: SparkSession) -> int:
     """Partition count for an iterative loop's static (persisted)
     sides. Must equal spark.sql.shuffle.partitions — per-iteration

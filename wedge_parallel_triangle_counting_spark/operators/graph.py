@@ -301,42 +301,55 @@ def degree_histogram(sym_deg: DataFrame) -> DataFrame:
     )
 
 
+def _degree_ends(edges: DataFrame) -> DataFrame:
+    """(x, y) endpoint-degree pairs for every directed edge of the
+    clean symmetric graph — the shared input of the assortativity
+    coefficient and the knn(d) profile (and of their oracles' common
+    `ends` CTE)."""
+    sym = symmetrize(normalize_edges(edges))
+    deg = degrees(sym)
+    return (
+        sym.join(deg.select(F.col("v").alias("src"), F.col("degree").alias("x")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("y")), "dst")
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation between the endpoint degrees of every directed edge
     of the clean symmetric graph. One row:
     (n_edge_ends, sxy, sxx, assortativity).
 
-    Hash-stable by construction: the sufficient statistics
-    n = 2m, Σx, Σy, Σxy, Σx², Σy² are EXACT bigint aggregates of
-    bigint degrees, emitted as the centered integer moments
-    sxy = n·Σxy − Σx·Σy and sxx = n·Σx² − (Σx)² (symmetric graph ⇒
-    the y-moment equals sxx), and the double coefficient is derived
-    from those integers with the identical expression on the DuckDB
-    oracle side. Plan: degree agg + two broadcast-or-shuffle joins +
-    one global agg — output is 1 row at any scale."""
-    sym = symmetrize(normalize_edges(edges))
-    deg = degrees(sym)
-    ends = (
-        sym.join(deg.select(F.col("v").alias("src"), F.col("degree").alias("x")), "src")
-        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("y")), "dst")
-    )
-    stats = ends.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("pxy"),
-        F.sum(F.col("x") * F.col("x")).alias("pxx"),
-        F.sum(F.col("y") * F.col("y")).alias("pyy"),
+    Hash-stable AND overflow-safe by construction: the sufficient
+    statistics are aggregated as DECIMAL(38,0) (n·Σx² for a 10¹²-edge
+    graph with 10⁷-degree hubs exceeds int64 by orders of magnitude —
+    a silent wrap would flip the coefficient's sign); DuckDB's BIGINT
+    sums widen to HUGEINT, the same exact-integer semantics. The
+    centered moments sxy = n·Σxy − Σx·Σy and sxx = n·Σx² − (Σx)²
+    (symmetric graph ⇒ the y-moment equals sxx) are emitted as
+    DOUBLE — both engines convert the same exact integer with IEEE
+    nearest-even, so the values still compare bit-for-bit. Exactness
+    bound: DECIMAL(38) holds n·Σx² up to ~10³⁸ (DuckDB's HUGEINT is
+    ~1.7·10³⁸) — beyond that Spark yields NULL (loud), never a
+    silent wrap. Plan: degree agg + two joins + one global agg —
+    1 row at any scale."""
+    dec = "decimal(38,0)"
+    stats = _degree_ends(edges).agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("pxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("pxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("pyy"),
     )
     n = F.col("n")
     sxy = n * F.col("pxy") - F.col("sx") * F.col("sy")
     sxx = n * F.col("pxx") - F.col("sx") * F.col("sx")
     syy = n * F.col("pyy") - F.col("sy") * F.col("sy")
     return stats.select(
-        n.alias("n_edge_ends"),
-        sxy.cast("long").alias("sxy"),
-        sxx.cast("long").alias("sxx"),
+        n.cast("long").alias("n_edge_ends"),
+        sxy.cast("double").alias("sxy"),
+        sxx.cast("double").alias("sxx"),
         F.round(
             sxy.cast("double")
             / (F.sqrt(sxx.cast("double")) * F.sqrt(syy.cast("double"))),
@@ -352,12 +365,9 @@ def neighbor_degree_curve(edges: DataFrame) -> DataFrame:
     The curve behind the single coefficient degree_assortativity
     emits (rising = assortative, falling = hub-periphery). Output is
     #distinct-degrees rows (≤ a few hundred on a power-law graph)."""
+    ends = _degree_ends(edges)
     sym = symmetrize(normalize_edges(edges))
     deg = degrees(sym)
-    ends = (
-        sym.join(deg.select(F.col("v").alias("src"), F.col("degree").alias("x")), "src")
-        .join(deg.select(F.col("v").alias("dst"), F.col("degree").alias("y")), "dst")
-    )
     per_degree = ends.groupBy(F.col("x").alias("degree")).agg(
         F.sum("y").alias("sum_nbr_deg"),
         F.count(F.lit(1)).alias("n_ends"),

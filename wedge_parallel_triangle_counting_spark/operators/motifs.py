@@ -29,8 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import loop_partitions
-from .truss import canonical_edges
+from .checkpointing import finish_with_caches, loop_partitions
+from .graph import normalize_edges
+from .truss import canonical_edges, enumerate_triangles
 
 
 def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
@@ -43,8 +44,6 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
     """
     npart = loop_partitions(edges.sparkSession)
     und = canonical_edges(edges, npart).persist()  # read 4x below
-    if caches is not None:
-        caches.append(und)
     # symmetric incidence (center, endpoint) from one cached frame;
     # self-join on center enumerates each unordered wedge once
     inc = und.select(F.col("src").alias("c"), F.col("dst").alias("e")).unionByName(
@@ -54,7 +53,7 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
     right = inc.select("c", F.col("e").alias("v"))
     wedges = left.join(right, "c").filter(F.col("u") < F.col("v"))
     codeg = wedges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
-    return codeg.agg(
+    out = codeg.agg(
         # coalesce: a wedge-free graph (e.g. a perfect matching) has
         # an EMPTY codeg relation and sum() would be NULL
         F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("wedge_pairs"),
@@ -69,6 +68,7 @@ def butterfly_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
         # exact past 2^53 where a double division would not
         F.expr("diag DIV 2").alias("four_cycles"),
     )
+    return finish_with_caches(out, [und], caches)
 
 
 def tetrahedron_count(edges: DataFrame, caches: list | None = None) -> DataFrame:
@@ -85,16 +85,9 @@ def tetrahedron_count(edges: DataFrame, caches: list | None = None) -> DataFrame
     (3·T rows); it is never wider than (a,b,c) and the first join is
     keyed on c — the arboricity argument that bounds the oriented
     triangle lane bounds this too."""
-    from .checkpointing import loop_partitions
-    from .truss import canonical_edges, enumerate_triangles
-
     npart = loop_partitions(edges.sparkSession)
     und = canonical_edges(edges, npart).persist()
-    if caches is not None:
-        caches.append(und)
     tri = enumerate_triangles(und).persist()
-    if caches is not None:
-        caches.append(tri)
     e_cd = und.select(F.col("src").alias("c"), F.col("dst").alias("d"))
     e_ad = und.select(F.col("src").alias("a"), F.col("dst").alias("d"))
     e_bd = und.select(F.col("src").alias("b"), F.col("dst").alias("d"))
@@ -105,7 +98,8 @@ def tetrahedron_count(edges: DataFrame, caches: list | None = None) -> DataFrame
         .agg(F.count(F.lit(1)).alias("tetrahedra"))
     )
     t = tri.agg(F.count(F.lit(1)).alias("triangles"))
-    return t.crossJoin(F.broadcast(k4)).select("triangles", "tetrahedra")
+    out = t.crossJoin(F.broadcast(k4)).select("triangles", "tetrahedra")
+    return finish_with_caches(out, [und, tri], caches)
 
 
 def bipartite_projection(
@@ -135,8 +129,6 @@ def bipartite_projection(
         .dropDuplicates(["l", "r"])
         .persist()
     )
-    if caches is not None:
-        caches.append(inc)
     a = inc.select("l", F.col("r").alias("u"))
     b = inc.select("l", F.col("r").alias("v"))
     proj = (
@@ -146,7 +138,9 @@ def bipartite_projection(
         .agg(F.count(F.lit(1)).alias("weight"))
         .filter(F.col("weight") >= min_weight)
     )
-    return proj.orderBy(F.desc("weight"), "u", "v").limit(k)
+    return finish_with_caches(
+        proj.orderBy(F.desc("weight"), "u", "v").limit(k), [inc], caches
+    )
 
 
 def reciprocity(edges: DataFrame, caches: list | None = None) -> DataFrame:
@@ -158,25 +152,22 @@ def reciprocity(edges: DataFrame, caches: list | None = None) -> DataFrame:
     Plan: distinct directed edges, one left-semi self-join against the
     flipped frame (both sides hash(src)-clustered), two counts folded
     into one aggregation via the semi-join indicator."""
-    from .graph import normalize_edges
-
     e = (
         normalize_edges(edges)
         .filter(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
         .persist()  # read 3x: flipped probe, semi-join left, count
     )
-    if caches is not None:
-        caches.append(e)
     flipped = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(flipped, ["src", "dst"], "left_semi")
     stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         F.broadcast(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
     )
-    return stats.select(
+    out = stats.select(
         "n_edges",
         "n_reciprocal",
         F.expr("(n_reciprocal * 1000000) DIV n_edges").alias(
             "reciprocity_ppm"
         ),
     )
+    return finish_with_caches(out, [e], caches)

@@ -157,18 +157,21 @@ def resize_media(
         )
     stats = decode_media(media, real_decode=real_resize)
     big = F.greatest("width", "height")
-    scale_w = F.when(
-        big <= max_dim, F.col("width")
-    ).otherwise((F.col("width") * max_dim).cast("long") / big)
-    scale_h = F.when(
-        big <= max_dim, F.col("height")
-    ).otherwise((F.col("height") * max_dim).cast("long") / big)
+    # integer floor-division end to end (expr DIV, not double `/` +
+    # floor): a rounded double quotient could straddle an integer for
+    # large dims, silently diverging from the oracle's exact `//`
+    scale_w = F.when(big <= max_dim, F.col("width")).otherwise(
+        F.expr(f"(width * {max_dim}) DIV greatest(width, height)")
+    )
+    scale_h = F.when(big <= max_dim, F.col("height")).otherwise(
+        F.expr(f"(height * {max_dim}) DIV greatest(width, height)")
+    )
     return stats.select(
         "doc_id",
         "kind",
         "n_bytes",
-        F.floor(scale_w).cast("long").alias("width"),
-        F.floor(scale_h).cast("long").alias("height"),
+        scale_w.cast("long").alias("width"),
+        scale_h.cast("long").alias("height"),
     )
 
 

@@ -36,6 +36,7 @@ def weighted_sssp(
     max_rounds: int = 8,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """(v, dist) for every vertex reachable from `source` within
     max_rounds edges; dist = min total weight (bigint). Input edge
@@ -66,17 +67,28 @@ def weighted_sssp(
         "sssp",
         checkpoint_dir,
         checkpoint_every,
+        # max_rounds deliberately NOT fingerprinted: it is a run-length
+        # knob, and resuming with a larger budget is the point
         fingerprint=(
-            {"source": source, "max_rounds": max_rounds, "m": e.count()}
-            if checkpoint_dir
-            else None
+            {"source": source, "m": e.count()} if checkpoint_dir else None
         ),
     )
-    dist = spark.createDataFrame(
-        [(source, 0)], "v long, dist long"
-    ).repartition(npart, "v")
-    frontier = dist  # rows improved last round — only these can relax
-    for it in range(max_rounds):
+    start = 0
+    dist = None
+    if resume:
+        got = loop.resume()
+        if got is not None:
+            state, start = got
+            # the snapshot keeps the `improved` indicator, so the
+            # next round's relax frontier is recoverable exactly
+            dist = state.select("v", "dist")
+            frontier = state.filter("improved").select("v", "dist")
+    if dist is None:
+        dist = spark.createDataFrame(
+            [(source, 0)], "v long, dist long"
+        ).repartition(npart, "v")
+        frontier = dist  # rows improved last round — only these relax
+    for it in range(start, max_rounds):
         relaxed = (
             e.join(
                 frontier.select(F.col("v").alias("src"), "dist"), "src"

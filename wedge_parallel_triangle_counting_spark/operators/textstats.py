@@ -238,8 +238,6 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist()  # read twice: df derivation + the scored join
     )
-    if caches is not None:
-        caches.append(tf)
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
     scored = (
@@ -256,10 +254,14 @@ def tfidf_top_terms(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
-    return (
+    from .checkpointing import finish_with_caches
+
+    return finish_with_caches(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("doc_id", "term", "tf", "df", "score")
+        .select("doc_id", "term", "tf", "df", "score"),
+        [tf],
+        caches,
     )
 
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import CheckpointedLoop, loop_partitions
+from .checkpointing import CheckpointedLoop, finish_with_caches, loop_partitions
 from .graph import normalize_edges
 
 
@@ -120,9 +120,7 @@ def edge_support(edges: DataFrame, caches: list | None = None) -> DataFrame:
     scan+shuffle+dedup lineage per reference would dominate."""
     npart = loop_partitions(edges.sparkSession)
     und = canonical_edges(edges, npart).persist()
-    if caches is not None:
-        caches.append(und)
-    return _support(und)
+    return finish_with_caches(_support(und), [und], caches)
 
 
 def triangle_list(
@@ -132,9 +130,11 @@ def triangle_list(
     order — TakeOrderedAndProject, no global sort materialization."""
     npart = loop_partitions(edges.sparkSession)
     und = canonical_edges(edges, npart).persist()
-    if caches is not None:
-        caches.append(und)
-    return enumerate_triangles(und).orderBy("a", "b", "c").limit(limit)
+    return finish_with_caches(
+        enumerate_triangles(und).orderBy("a", "b", "c").limit(limit),
+        [und],
+        caches,
+    )
 
 
 def k_truss(

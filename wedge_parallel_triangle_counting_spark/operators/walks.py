@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .checkpointing import loop_partitions
+from .checkpointing import finish_with_caches, loop_partitions
 from .graph import build_sym_clustered
 
 
@@ -36,9 +36,7 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def sample_neighbors(
-    edges: DataFrame, k: int = 5, caches: list | None = None
-) -> DataFrame:
+def sample_neighbors(edges: DataFrame, k: int = 5) -> DataFrame:
     """GraphSAGE-style deterministic neighbor sampling: for every
     vertex, at most k neighbors chosen by ranking the adjacency under
     the md5 hash of (v, neighbor) — a pseudo-random but re-runnable
@@ -95,8 +93,6 @@ def random_walks(
         )
         .persist()
     )
-    if caches is not None:
-        caches.append(adj)
 
     frontier = adj.select(
         F.col("v").alias("walk_id"), F.lit(0).alias("step"), F.col("v")
@@ -123,4 +119,8 @@ def random_walks(
     result = out[0]
     for f in out[1:]:
         result = result.unionByName(f)
-    return result.select("walk_id", F.col("step").cast("long"), "v")
+    return finish_with_caches(
+        result.select("walk_id", F.col("step").cast("long"), "v"),
+        [adj],
+        caches,
+    )

@@ -516,8 +516,8 @@ stats AS (
     FROM ends
 )
 SELECT CAST(n AS BIGINT) AS n_edge_ends,
-       CAST(n * pxy - sx * sy AS BIGINT) AS sxy,
-       CAST(n * pxx - sx * sx AS BIGINT) AS sxx,
+       CAST(n * pxy - sx * sy AS DOUBLE) AS sxy,
+       CAST(n * pxx - sx * sx AS DOUBLE) AS sxx,
        round(CAST(n * pxy - sx * sy AS DOUBLE)
              / (sqrt(CAST(n * pxx - sx * sx AS DOUBLE))
                 * sqrt(CAST(n * pyy - sy * sy AS DOUBLE))), 6) AS assortativity
