@@ -553,6 +553,15 @@ def _q_corpus_mix_report(spark, sf_dir):
     return corpus_mix_report(_docs(spark, sf_dir), min_score=0.5)
 
 
+def _q_kmv_shingles(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import shingles
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    return kmv_distinct(shingles(_docs(spark, sf_dir)), "shingle", k=256)
+
+
 def _q_top_ngrams(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import top_ngrams
 
@@ -789,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": _q_repetition_stats,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
+        "sketch_kmv_shingles": _q_kmv_shingles,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
@@ -925,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_stats": oracles.repetition_stats_sql(),
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "text_top_ngrams": oracles.top_ngrams_sql(k=100),
+        "sketch_kmv_shingles": oracles.kmv_shingles_sql(k=256),
         "text_corpus_mix_report": oracles.corpus_mix_report_sql(min_score=0.5),
         "text_token_percentiles": oracles.token_percentiles_sql(),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(

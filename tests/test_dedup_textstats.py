@@ -334,3 +334,25 @@ def test_corpus_mix_report_consistent_with_filtered_corpus(spark):
     for r in report:
         assert 0 <= r.n_kept <= r.n_docs
         assert r.kept_ppm == (r.n_kept * 1000000) // r.n_docs
+
+
+def test_kmv_distinct_exact_below_capacity_and_estimates_above(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    vals = spark.createDataFrame(
+        [(f"v{i % 40}",) for i in range(500)], "x string"
+    )
+    r = kmv_distinct(vals, "x", k=256).collect()[0]
+    # below sketch capacity: exact
+    assert (r.n_exact, r.est_distinct, r.err_ppm) == (40, 40, 0)
+
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "x string")
+    r = kmv_distinct(big, "x", k=128).collect()[0]
+    assert r.n_exact == 5000
+    # bottom-k estimator: within ~3/sqrt(k) relative error w.h.p.
+    assert abs(r.est_distinct - 5000) / 5000 < 0.30
+    # determinism
+    r2 = kmv_distinct(big, "x", k=128).collect()[0]
+    assert (r.est_distinct, r.kth_hash) == (r2.est_distinct, r2.kth_hash)

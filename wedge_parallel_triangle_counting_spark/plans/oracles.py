@@ -982,6 +982,36 @@ def _h64(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def kmv_shingles_sql(k: int = 256) -> str:
+    """Mirrors operators/sketches.py::kmv_distinct over the corpus's
+    distinct 3-gram shingles (same hash, same double expression)."""
+    return f"""
+WITH {_SHINGLE_CTE},
+d AS (SELECT DISTINCT shingle AS val FROM sh),
+hs AS (
+    SELECT ('0x' || substr(md5('kmv:' || val), 1, 15))::BIGINT AS h
+    FROM d ORDER BY h LIMIT {k}
+),
+bottom AS (SELECT count(*) AS n_in_sketch, max(h) AS kth FROM hs),
+exact AS (SELECT count(*) AS n_exact FROM d),
+est AS (
+    SELECT n_exact,
+           CAST({k} AS BIGINT) AS k,
+           kth AS kth_hash,
+           CASE WHEN n_in_sketch < {k} THEN CAST(n_in_sketch AS BIGINT)
+                ELSE CAST(floor(CAST({k - 1} AS DOUBLE)
+                                * 1152921504606846976.0
+                                / CAST(kth AS DOUBLE)) AS BIGINT)
+           END AS est_distinct
+    FROM exact CROSS JOIN bottom
+)
+SELECT n_exact, k, kth_hash, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 1000000
+            // greatest(n_exact, 1) AS BIGINT) AS err_ppm
+FROM est
+""".strip()
+
+
 def top_ngrams_sql(k: int = 100) -> str:
     """Mirrors operators/textstats.py::top_ngrams (3-grams, document
     frequency, total-order top-k)."""
