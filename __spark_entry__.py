@@ -735,6 +735,27 @@ def _q_streaming_dedup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_user_stats(spark, sf_dir):
+    # applyInPandasWithState custom stateful operator, driven by a
+    # real availableNow replay; oracle = the batch per-user profile
+    import os
+    import shutil
+    import tempfile
+
+    from wedge_parallel_triangle_counting_spark.streaming.userstats import (
+        run_streaming_user_stats,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_ustats_")
+    src_dir = f"{tmp}/events"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    try:
+        return run_streaming_user_stats(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -812,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": _q_events_sessionized,
         "streaming_triangles": _q_streaming_triangles,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_user_stats": _q_streaming_user_stats,
     }
 
 
@@ -916,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_host_pagerank": oracles.host_pagerank_sql(PAGERANK_ITERS),
         "dedup_exact": oracles.dedup_exact_sql(),
         "streaming_dedup": oracles.prefix_dedup_sql(prefix_tokens=3),
+        "streaming_user_stats": oracles.user_stats_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_simhash": oracles.simhash_sql(),

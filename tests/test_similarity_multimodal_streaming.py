@@ -483,3 +483,46 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert got == want
     # exactly one group: the shared 3-token prefix, spanning files
     assert list(want.values()) == [(3, 0)]
+
+
+def test_streaming_user_stats_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user custom state must accumulate
+    across micro-batches (a user split over two files gets ONE final
+    row equal to the batch profile over the union)."""
+    import shutil
+    from datetime import datetime
+
+    from wedge_parallel_triangle_counting_spark.streaming.userstats import (
+        run_streaming_user_stats,
+        user_stats_batch,
+    )
+
+    ts = datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, ts, 7, "c", 1.25, ""), (2, ts, 7, "c", 2.5, ""), (3, ts, 9, "v", 0.75, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    b = spark.createDataFrame(
+        [(4, ts, 7, "c", 4.0, ""), (5, ts, 11, "v", 9.5, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    events_dir = tmp_path / "events_us"
+    events_dir.mkdir()
+    for i, src in enumerate(["a", "b"]):
+        d = tmp_path / f"w{src}"
+        (a if src == "a" else b).coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), events_dir / f"part-{i:03d}.parquet")
+
+    got = {
+        r.user_id: (r.n_events, r.total_value_micro, r.max_value_micro)
+        for r in run_streaming_user_stats(
+            spark, str(events_dir), str(tmp_path / "ckpt_us")
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value_micro, r.max_value_micro)
+        for r in user_stats_batch(a.unionByName(b)).collect()
+    }
+    assert got == want
+    assert got[7] == (3, 7_750_000, 4_000_000)  # spans both batches
+    assert got[11] == (1, 9_500_000, 9_500_000)  # batch-2-only user

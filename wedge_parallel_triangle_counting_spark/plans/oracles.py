@@ -1620,6 +1620,18 @@ FROM stats WHERE kind = 'video'
 # -- events (batch windowed aggregation; streaming twin in streaming/) ----
 
 
+def user_stats_sql() -> str:
+    """Batch oracle for the applyInPandasWithState per-user profile
+    (streaming/userstats.py) — exact integer micro arithmetic."""
+    return """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro,
+       CAST(max(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS max_value_micro
+FROM events GROUP BY user_id
+""".strip()
+
+
 def events_sessionized_sql(gap_minutes: int = 30) -> str:
     """Mirrors streaming.events.sessionized (Spark F.session_window)
     as gaps-and-islands: a break starts whenever the gap to the
