@@ -516,7 +516,10 @@ def test_streaming_user_stats_state_carries_across_batches(spark, tmp_path):
     got = {
         r.user_id: (r.n_events, r.total_value_micro, r.max_value_micro)
         for r in run_streaming_user_stats(
-            spark, str(events_dir), str(tmp_path / "ckpt_us")
+            spark,
+            str(events_dir),
+            str(tmp_path / "ckpt_us"),
+            max_files_per_trigger=1,  # force one file per micro-batch
         ).collect()
     }
     want = {
@@ -526,3 +529,17 @@ def test_streaming_user_stats_state_carries_across_batches(spark, tmp_path):
     assert got == want
     assert got[7] == (3, 7_750_000, 4_000_000)  # spans both batches
     assert got[11] == (1, 9_500_000, 9_500_000)  # batch-2-only user
+
+
+def test_streaming_user_stats_refuses_stale_checkpoint(spark, tmp_path):
+    import pytest as _pytest
+
+    from wedge_parallel_triangle_counting_spark.streaming.userstats import (
+        run_streaming_user_stats,
+    )
+
+    ckpt = tmp_path / "ckpt_stale"
+    ckpt.mkdir()
+    (ckpt / "offsets").mkdir()
+    with _pytest.raises(ValueError, match="non-empty"):
+        run_streaming_user_stats(spark, str(tmp_path), str(ckpt))

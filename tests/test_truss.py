@@ -509,3 +509,46 @@ def test_sssp_resume_matches_direct(spark, tmp_path):
     }
     direct = {r.v: r.dist for r in weighted_sssp(df, max_rounds=8).collect()}
     assert resumed == direct
+
+
+def test_harmonic_resume_smaller_budget_is_clamped(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    pairs = _random_graph(29, 30, 90)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "hc_clamp")
+    harmonic_centrality(
+        df, seed_pct=40, max_hops=5, checkpoint_dir=ckpt, checkpoint_every=1
+    ).collect()
+    resumed = {
+        r.seed: (r.n_reached, r.harmonic_micro)
+        for r in harmonic_centrality(
+            df,
+            seed_pct=40,
+            max_hops=2,
+            checkpoint_dir=ckpt,
+            checkpoint_every=1,
+            resume=True,
+        ).collect()
+    }
+    direct = {
+        r.seed: (r.n_reached, r.harmonic_micro)
+        for r in harmonic_centrality(df, seed_pct=40, max_hops=2).collect()
+    }
+    assert resumed == direct  # snapshot clamped to THIS call's budget
+
+
+def test_sssp_resume_smaller_budget_refused(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.sssp import weighted_sssp
+
+    df = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    ckpt = str(tmp_path / "sssp_refuse")
+    weighted_sssp(df, max_rounds=4, checkpoint_dir=ckpt, checkpoint_every=1)
+    with pytest.raises(ValueError, match="max_rounds"):
+        weighted_sssp(
+            df, max_rounds=1, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        )

@@ -45,14 +45,16 @@ def main() -> int:
             continue
         try:
             got = fn(spark, sf_dir).toPandas()
-            # hygiene: operators release their own scratch caches
-            # (finish_with_caches), but a leak here would otherwise
-            # accumulate across the 70+ queries of a full run
-            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            # hygiene: operators release their own scratch caches
+            # (finish_with_caches), but a leak — especially from a
+            # FAILING query — would otherwise accumulate across the
+            # rest of the run
+            spark.catalog.clearCache()
         if name not in osql:
             print(f"SKIP  {name}: no oracle (rows={len(got)})")
             continue

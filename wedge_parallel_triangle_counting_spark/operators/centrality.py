@@ -80,7 +80,10 @@ def _ms_bfs(
             # the snapshot after iteration i holds rows with
             # hops <= i+1 and resumes at start = i+1, so the frontier
             # (rows settled in that last completed round) is exactly
-            # hops == start
+            # hops == start. Resuming with a SMALLER max_hops than
+            # the snapshot must still honor this call's contract:
+            # clamp the distance table to the requested budget.
+            dist = dist.filter(F.col("hops") <= max_hops)
             frontier = dist.filter(F.col("hops") == start)
     if dist is None:
         dist = seeds.select(

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .walks import _h64
+
 
 def kmv_distinct(
     values: DataFrame, column: str, k: int = 256, salt: str = "kmv"
@@ -40,12 +42,15 @@ def kmv_distinct(
     distinct values of `column`. If fewer than k distinct values
     exist, the estimate IS the exact count (the sketch is exact below
     its capacity)."""
-    distinct = values.select(F.col(column).cast("string").alias("val")).distinct()
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col("val"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    # NULLs are excluded from the cardinality on BOTH sides (the
+    # oracle's `||` would null the hash while concat_ws would not —
+    # filtering first removes the divergence)
+    distinct = (
+        values.select(F.col(column).cast("string").alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
+    h = _h64(F.concat_ws(":", F.lit(salt), F.col("val")))
     hashes = distinct.select(h.alias("h")).orderBy("h").limit(k)
     bottom = hashes.agg(
         F.count(F.lit(1)).alias("n_in_sketch"),

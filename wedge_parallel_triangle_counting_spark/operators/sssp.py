@@ -79,6 +79,16 @@ def weighted_sssp(
         got = loop.resume()
         if got is not None:
             state, start = got
+            if start > max_rounds:
+                # unlike BFS hops, a distance row does not record how
+                # many edges produced it, so a snapshot past this
+                # call's budget cannot be clamped — refuse rather
+                # than silently violate the <=max_rounds contract
+                raise ValueError(
+                    f"sssp checkpoint is at round {start} but this "
+                    f"call asked for max_rounds={max_rounds}; rerun "
+                    "without resume (or raise max_rounds)"
+                )
             # the snapshot keeps the `improved` indicator, so the
             # next round's relax frontier is recoverable exactly
             dist = state.select("v", "dist")

@@ -987,9 +987,9 @@ def kmv_shingles_sql(k: int = 256) -> str:
     distinct 3-gram shingles (same hash, same double expression)."""
     return f"""
 WITH {_SHINGLE_CTE},
-d AS (SELECT DISTINCT shingle AS val FROM sh),
+d AS (SELECT DISTINCT shingle AS val FROM sh WHERE shingle IS NOT NULL),
 hs AS (
-    SELECT ('0x' || substr(md5('kmv:' || val), 1, 15))::BIGINT AS h
+    SELECT {_h64("'kmv:' || val")} AS h
     FROM d ORDER BY h LIMIT {k}
 ),
 bottom AS (SELECT count(*) AS n_in_sketch, max(h) AS kth FROM hs),

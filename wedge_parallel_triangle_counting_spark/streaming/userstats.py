@@ -18,10 +18,11 @@ drift in the last ulp per ordering), and identical to the DuckDB
 batch oracle.
 
 State story at scale: state is O(active users); with no timeout it
-is the whole user history (the point of a running profile). For
-bounded deployments GroupStateTimeout.ProcessingTimeTimeout +
-state.setTimeoutDuration evicts idle keys — wired through the
-`timeout` parameter.
+is the whole user history (the point of a running profile). Bounded
+deployments would add GroupStateTimeout.ProcessingTimeTimeout with
+state.setTimeoutDuration + a state.hasTimedOut branch that
+state.remove()s idle keys — deliberately NOT implemented here (a
+running profile keeps its history); this operator fixes NoTimeout.
 """
 
 from __future__ import annotations
@@ -53,22 +54,36 @@ def run_streaming_user_stats(
     spark: SparkSession,
     events_dir: str,
     checkpoint_dir: str,
-    timeout: str = "NoTimeout",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay the parquet files in `events_dir` as a stream and
     maintain the per-user profile in applyInPandasWithState custom
     state; returns the final (last-emission-per-user) profile, which
-    equals `user_stats_batch` over the union of all batches."""
+    equals `user_stats_batch` over the union of all batches.
+
+    Refuses a non-empty checkpoint dir: the last-emission capture
+    lives on the DRIVER (the `batches` list), so resuming an existing
+    checkpoint would skip committed batches and silently return an
+    empty/partial profile (same contract as streaming/triangles.py)."""
+    from pathlib import Path
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    schema = spark.read.parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .select(
-            "user_id",
-            F.round(F.col("value") * 1000000.0).cast("long").alias("m"),
+    ckpt = Path(checkpoint_dir)
+    if ckpt.exists() and any(ckpt.iterdir()):
+        raise ValueError(
+            f"checkpoint dir {checkpoint_dir!r} is non-empty: resuming "
+            "would skip committed batches while the driver-held "
+            "capture restarts empty (silent partial profile). Use a "
+            "fresh directory."
         )
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir).select(
+        "user_id",
+        F.round(F.col("value") * 1000000.0).cast("long").alias("m"),
     )
 
     def update(key, pdfs, state: GroupState):
@@ -98,7 +113,7 @@ def run_streaming_user_stats(
         OUT_SCHEMA,
         STATE_SCHEMA,
         "update",
-        getattr(GroupStateTimeout, timeout),
+        GroupStateTimeout.NoTimeout,
     )
 
     batches: list[DataFrame] = []
