@@ -276,6 +276,12 @@ def _q_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.walks import node2vec_walks
+
+    return node2vec_walks(testdata.derived_pagerank_edges(spark, sf_dir), length=5)
+
+
 def _q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import (
         sample_neighbors,
@@ -782,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": _q_reciprocity,
         "graph_random_walks": _q_random_walks,
         "graph_sample_neighbors": _q_sample_neighbors,
+        "graph_node2vec_walks": _q_node2vec,
         "graph_harmonic": _q_harmonic,
         "graph_hop_histogram": _q_hop_histogram,
         "graph_bipartite_projection": _q_bipartite_projection,
@@ -885,6 +892,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_sample_neighbors": oracles.sample_neighbors_sql(
             k=5, raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_node2vec_walks": oracles.node2vec_walks_sql(
+            length=5, raw_sql=testdata.derived_pagerank_edges_sql()
         ),
         "graph_harmonic": oracles.harmonic_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6

@@ -552,3 +552,44 @@ def test_sssp_resume_smaller_budget_refused(spark, tmp_path):
         weighted_sssp(
             df, max_rounds=1, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
         )
+
+
+def test_node2vec_walks_valid_and_deterministic(spark):
+    from wedge_parallel_triangle_counting_spark.operators.walks import (
+        node2vec_walks,
+    )
+
+    pairs = _random_graph(47, 25, 120)
+    adj = _adj(_und(pairs))
+    rows = node2vec_walks(edges_df(spark, pairs), length=4).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.v
+    assert set(walks) == set(adj)
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        assert set(steps) == set(range(5))
+        for t in range(1, 5):
+            assert steps[t] in adj[steps[t - 1]]
+    again = node2vec_walks(edges_df(spark, pairs), length=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_node2vec_zero_return_weight_never_backtracks(spark):
+    from .conftest import C4
+
+    from wedge_parallel_triangle_counting_spark.operators.walks import (
+        node2vec_walks,
+    )
+
+    # C4 with return weight 0: from any vertex the only nonzero-weight
+    # candidate is the non-prev neighbor, so the walk orbits the cycle
+    rows = node2vec_walks(
+        edges_df(spark, C4), length=6, return_w=0, common_w=1, other_w=1
+    ).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.v
+    for wid, steps in walks.items():
+        for t in range(2, 7):
+            assert steps[t] != steps[t - 2]  # no immediate backtrack

@@ -75,6 +75,112 @@ def sample_neighbors(edges: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 5,
+    return_w: int = 1,
+    common_w: int = 2,
+    other_w: int = 4,
+    caches: list | None = None,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks, fully
+    deterministic: (walk_id, step, v), one walk per vertex.
+
+    At step t the candidate neighbors of `cur` are weighted by their
+    relation to `prev` — `return_w` for nbr == prev (the 1/p return
+    bias), `common_w` for nbr adjacent to prev (distance-1, the
+    stay-local bias), `other_w` otherwise (1/q exploration) — as
+    INTEGER weights, and the choice indexes the cumulative-weight
+    ladder (neighbors sorted ascending) with the md5 step hash modulo
+    the total weight. Pure integer arithmetic end to end, so the
+    DuckDB oracle replays the exact walk. The seed step initializes
+    prev = cur, which makes every first-hop candidate "common"
+    (adjacent to the seed) — i.e. a uniform first step, no special
+    case.
+
+    Plan shape per step: explode the frontier against the
+    src-clustered symmetric edges (candidate rows = Σ deg(cur), the
+    second-order walk's inherent cost), one left join flagging
+    prev-adjacency, one per-walk window over the sorted candidates.
+    Defaults (1, 2, 4) discourage backtracking and favor
+    exploration — the classic p=2, q=0.5 regime scaled to integers."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    npart = loop_partitions(spark)
+    sym = build_sym_clustered(edges, npart, key="src").persist()
+
+    state = (
+        sym.select(F.col("src").alias("walk_id"))
+        .distinct()
+        .select(
+            "walk_id",
+            F.col("walk_id").alias("prev"),
+            F.col("walk_id").alias("cur"),
+        )
+    )
+    out = [
+        state.select("walk_id", F.lit(0).cast("long").alias("step"), F.col("cur").alias("v"))
+    ]
+    for t in range(1, length + 1):
+        cand = (
+            state.join(
+                sym.select(F.col("src").alias("cur"), F.col("dst").alias("nbr")),
+                "cur",
+            )
+            .join(
+                sym.select(
+                    F.col("src").alias("prev"),
+                    F.col("dst").alias("nbr"),
+                    F.lit(1).alias("is_common"),
+                ),
+                ["prev", "nbr"],
+                "left",
+            )
+            .select(
+                "walk_id",
+                "cur",
+                "nbr",
+                F.when(F.col("nbr") == F.col("prev"), F.lit(return_w))
+                .when(F.col("is_common") == 1, F.lit(common_w))
+                .otherwise(F.lit(other_w))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        wi = Window.partitionBy("walk_id").orderBy("nbr")
+        cum = F.sum("w").over(
+            wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        tot = F.sum("w").over(Window.partitionBy("walk_id"))
+        h = _h64(
+            F.concat_ws(
+                ":", F.lit("n2v"), F.col("walk_id").cast("string"), F.lit(str(t))
+            )
+        )
+        idx = h % tot
+        picked = (
+            cand.select("walk_id", "cur", "nbr", "w", cum.alias("cum"), idx.alias("idx"))
+            .filter((F.col("idx") >= F.col("cum") - F.col("w")) & (F.col("idx") < F.col("cum")))
+            .select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("nbr").alias("cur"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        state = picked
+        out.append(
+            state.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), F.col("cur").alias("v")
+            )
+        )
+    result = out[0]
+    for f in out[1:]:
+        result = result.unionByName(f)
+    return finish_with_caches(result, [sym], caches)
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 8,

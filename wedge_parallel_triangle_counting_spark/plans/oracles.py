@@ -409,6 +409,60 @@ FROM ranked WHERE rn <= {k}
 """.strip()
 
 
+def node2vec_walks_sql(
+    length: int = 5,
+    return_w: int = 1,
+    common_w: int = 2,
+    other_w: int = 4,
+    raw_sql: str | None = None,
+) -> str:
+    """Unrolled second-order biased walks, mirroring
+    operators/walks.py::node2vec_walks (integer weight ladder, md5
+    step hash, prev-adjacency flag via left join)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM clean UNION "
+        "SELECT dst, src FROM clean)",
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS prev, src AS cur FROM sym)",
+    ]
+    for t in range(1, length + 1):
+        h = (
+            "('0x' || substr(md5('n2v:' || CAST(walk_id AS VARCHAR) "
+            f"|| ':{t}'), 1, 15))::BIGINT"
+        )
+        ctes.append(
+            f"""cand{t} AS MATERIALIZED (
+    SELECT s.walk_id, s.cur, e.dst AS nbr,
+           CASE WHEN e.dst = s.prev THEN {return_w}
+                WHEN c.src IS NOT NULL THEN {common_w}
+                ELSE {other_w} END AS w
+    FROM s{t-1} s
+    JOIN sym e ON e.src = s.cur
+    LEFT JOIN sym c ON c.src = s.prev AND c.dst = e.dst
+)"""
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+    SELECT walk_id, cur AS prev, nbr AS cur FROM (
+        SELECT walk_id, cur, nbr, w,
+               sum(w) OVER (PARTITION BY walk_id ORDER BY nbr
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(w) OVER (PARTITION BY walk_id) AS tot
+        FROM cand{t}
+    )
+    WHERE {h} % tot >= cum - w AND {h} % tot < cum
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS v FROM s{t}"
+        for t in range(0, length + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def butterfly_sql(raw_sql: str | None = None) -> str:
     """4-cycle (butterfly) count via the diagonal codegree formula,
     mirroring operators/motifs.py::butterfly_count."""
