@@ -444,6 +444,31 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCC_MAX_OUTER = 40
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        testdata.derived_directed_sparse_edges(spark, sf_dir),
+        max_outer=SCC_MAX_OUTER,
+    )
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.bowtie import (
+        bowtie_decomposition,
+    )
+
+    return bowtie_decomposition(
+        testdata.derived_directed_sparse_edges(spark, sf_dir),
+        max_outer=SCC_MAX_OUTER,
+    )
+
+
 BFS_MAX_HOPS = 6
 
 
@@ -802,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
+        "graph_scc": _q_scc,
+        "graph_bowtie": _q_bowtie,
         "graph_bfs_hops": _q_bfs_hops,
         "graph_sssp": _q_sssp,
         "ingest_extract": _q_ingest_extract,
@@ -940,6 +967,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_bfs_hops": oracles.bfs_hops_sql(
             testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS
+        ),
+        "graph_scc": oracles.scc_sql(testdata.derived_directed_sparse_edges_sql()),
+        "graph_bowtie": oracles.bowtie_sql(
+            testdata.derived_directed_sparse_edges_sql()
         ),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),

@@ -234,6 +234,23 @@ def test_components_strategies_agree(spark, seed):
     assert a == want
 
 
+@pytest.mark.parametrize("impl", ["agg", "window"])
+def test_star_round_impls_agree(spark, impl, monkeypatch):
+    """Both per-src min formulations of the star rounds (r4-j A/B)
+    produce identical labels."""
+    from wedge_parallel_triangle_counting_spark.operators import components as C
+
+    monkeypatch.setattr(C, "STAR_ROUND_IMPL", impl)
+    pairs = _random_directed(11, 70, 85)
+    df = edges_df(spark, pairs)
+    got = {r.v: r.component for r in connected_components(df, strategy="star").collect()}
+    want = {
+        r.v: r.component
+        for r in connected_components(df, strategy="hashmin").collect()
+    }
+    assert got == want
+
+
 def test_components_resume(spark, tmp_path):
     pairs = _random_directed(8, 60, 70)
     df = edges_df(spark, pairs)

@@ -18,7 +18,7 @@ durable checkpoint + manifest on cadence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .checkpointing import (
@@ -44,6 +44,14 @@ AUTO_HASHMIN_MAX_EDGES = 50_000_000
 # stays OFF: fewer exchanges per round is the safer bet when shuffle
 # volume, not duplicate inflation, dominates at real scale.
 STAR_DEDUP_ROUNDS = False
+
+# How star rounds compute the per-vertex neighborhood min: "agg"
+# (groupBy + join back) or "window" (single-exchange window min).
+# Interleaved A/B (BENCH/RUNS.md r4-j): window wins ALL reps on both
+# the sf0.1 and 16x-amplified graphs — 16.6→8.9 s and 44→27 s vs the
+# shipped shape — because each star step drops from two exchanges of
+# the 2m-row neighbor relation (groupBy + join back) to one.
+STAR_ROUND_IMPL = "window"
 
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
@@ -278,6 +286,8 @@ def _star_rounds(
     start: int,
     max_iters: int,
     dedup_rounds: bool = STAR_DEDUP_ROUNDS,
+    impl: str | None = None,
+    small_pre_dedup: bool = False,
 ) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star rounds until the edge
     relation stabilizes; returns (final relation, its count).
@@ -290,16 +300,44 @@ def _star_rounds(
     small-star join (on). Counterbalanced interleaved A/Bs at sf0.1
     and 16x-amplified measured the variants within host noise
     (BENCH/RUNS.md r4-a), so the default keeps the fewer-shuffles
-    shape."""
+    shape.
+
+    `impl` picks how the per-vertex neighborhood min is computed:
+    - "agg" — groupBy(src).min + equi-join back (two exchanges of the
+      2m-row neighbor relation per star step, AQE may broadcast the
+      n-row min side at small scale — but can't at 100 TB).
+    - "window" — a single `min().over(Window.partitionBy(src))`: ONE
+      exchange of the neighbor relation per star step regardless of
+      scale, at the cost of an in-partition sort. Fewer exchanges is
+      the at-scale term (the n-row min side stops broadcasting long
+      before 10^12 edges).
+    Default is STAR_ROUND_IMPL (interleaved A/B, BENCH/RUNS.md r4-j).
+
+    The final canonicalization relies on an invariant of the
+    small-star output: every emitted row has dst = min(neighborhood
+    ∪ {src'}) ≤ src (the group that produced `mn` contains the row's
+    own src), so rows are already (large, small)-canonical and the
+    single trailing distinct both dedups and finishes the round — no
+    pre-dedup of the join output is needed."""
+    if impl is None:
+        impl = STAR_ROUND_IMPL
+    wsrc = Window.partitionBy("src")
+
+    def _with_min(rel: DataFrame) -> DataFrame:
+        """rel[src,dst] -> rel + per-src neighborhood min column `mn`."""
+        if impl == "window":
+            return rel.withColumn("mn", F.min("dst").over(wsrc))
+        mins = rel.groupBy("src").agg(F.min("dst").alias("mn"))
+        return rel.join(mins, "src")
+
     for it in range(start, max_iters):
         # large-star: for each u, connect all strictly-larger neighbors
         # to min(neighborhood ∪ {u})
         nbrs = cur.select("src", "dst").unionByName(
             cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
         large = (
-            nbrs.join(mins, "src")
+            _with_min(nbrs)
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.least("mn", F.col("src")).alias("dst"))
             .filter(F.col("src") != F.col("dst"))
@@ -315,13 +353,13 @@ def _star_rounds(
         if dedup_rounds:
             self_rows = self_rows.distinct()
         small_nbrs = nbrs2.filter(F.col("dst") < F.col("src")).unionByName(self_rows)
-        mins2 = small_nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
         small = (
-            small_nbrs.join(mins2, "src")
+            _with_min(small_nbrs)
             .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
         )
+        if small_pre_dedup:  # the pre-r4 shipped shape, kept for A/B
+            small = small.distinct()
         new_cur = small.select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         ).distinct()

@@ -788,6 +788,111 @@ SELECT v, min(root) AS component FROM walk GROUP BY v
 """.strip()
 
 
+def _directed_closure_cte(raw_sql: str) -> str:
+    """Shared CTE prefix: cleaned directed edges, induced vertex set,
+    transitive closure `reach(v,u)` (v reaches u by a path of length
+    ≥ 1), and its reflexive extension `reach_refl`. UNION (not UNION
+    ALL) dedups states so the recursion is finite and exact."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+vs AS (
+    SELECT DISTINCT v FROM (
+        SELECT src AS v FROM clean UNION SELECT dst FROM clean
+    ) t
+),
+reach(v, u) AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT reach.v, e.dst FROM reach JOIN clean e ON e.src = reach.u
+),
+reach_refl AS (
+    SELECT v, u FROM reach UNION SELECT v, v AS u FROM vs
+)
+""".strip()
+
+
+def scc_sql(raw_sql: str) -> str:
+    """SCC label = min id of the mutually-reachable set — computed from
+    the recursive transitive closure, fully independent of the engine's
+    coloring/peeling formulation (operators/scc.py)."""
+    return f"""
+{_directed_closure_cte(raw_sql)},
+mutual AS (
+    SELECT a.v, a.u FROM reach a JOIN reach b ON a.v = b.u AND a.u = b.v
+)
+SELECT vs.v, LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc
+FROM vs LEFT JOIN mutual m ON m.v = vs.v
+GROUP BY vs.v
+""".strip()
+
+
+def bowtie_sql(raw_sql: str) -> str:
+    """Bow-tie class sizes from the same closure: core = largest SCC
+    (ties to the smaller scc id), IN/OUT by reachability to/from core,
+    TUBE = from-IN ∩ to-OUT among the rest, TENDRIL = exactly one of
+    the two, DISCONNECTED otherwise — the class definitions documented
+    in operators/bowtie.py, expressed via joins on the closure instead
+    of the engine's frontier BFS loops."""
+    return f"""
+{_directed_closure_cte(raw_sql)},
+mutual AS (
+    SELECT a.v, a.u FROM reach a JOIN reach b ON a.v = b.u AND a.u = b.v
+),
+labels AS (
+    SELECT vs.v, LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc
+    FROM vs LEFT JOIN mutual m ON m.v = vs.v
+    GROUP BY vs.v
+),
+core AS (
+    SELECT v FROM labels
+    WHERE scc = (
+        SELECT scc FROM (
+            SELECT scc, COUNT(*) AS n FROM labels GROUP BY scc
+        ) t ORDER BY n DESC, scc ASC LIMIT 1
+    )
+),
+to_core AS (
+    SELECT DISTINCT r.v FROM reach_refl r JOIN core c ON r.u = c.v
+),
+from_core AS (
+    SELECT DISTINCT r.u AS v FROM reach_refl r JOIN core c ON r.v = c.v
+),
+in_set AS (
+    -- EXCEPT is rejected inside a RECURSIVE with-list by DuckDB's
+    -- parser, so both set differences are anti-joins
+    SELECT t.v FROM to_core t LEFT JOIN core c ON c.v = t.v WHERE c.v IS NULL
+),
+out_set AS (
+    SELECT f.v FROM from_core f LEFT JOIN core c ON c.v = f.v WHERE c.v IS NULL
+),
+from_in AS (
+    SELECT DISTINCT r.u AS v FROM reach_refl r JOIN in_set i ON r.v = i.v
+),
+to_out AS (
+    SELECT DISTINCT r.v FROM reach_refl r JOIN out_set o ON r.u = o.v
+),
+classified AS (
+    SELECT vs.v,
+        CASE
+            WHEN c.v IS NOT NULL THEN 'core'
+            WHEN i.v IS NOT NULL THEN 'in'
+            WHEN o.v IS NOT NULL THEN 'out'
+            WHEN fi.v IS NOT NULL AND t2.v IS NOT NULL THEN 'tube'
+            WHEN fi.v IS NOT NULL OR t2.v IS NOT NULL THEN 'tendril'
+            ELSE 'disconnected'
+        END AS cls
+    FROM vs
+    LEFT JOIN core c ON c.v = vs.v
+    LEFT JOIN in_set i ON i.v = vs.v
+    LEFT JOIN out_set o ON o.v = vs.v
+    LEFT JOIN from_in fi ON fi.v = vs.v
+    LEFT JOIN to_out t2 ON t2.v = vs.v
+)
+SELECT cls, COUNT(*) AS n_vertices FROM classified GROUP BY cls
+""".strip()
+
+
 def bfs_hops_sql(raw_sql: str, max_hops: int = 10) -> str:
     """BFS shortest hop counts from the minimum vertex id, depth-capped
     recursive reachability: UNION dedups (v, d) states so the recursion

@@ -85,3 +85,28 @@ def derived_weighted_edges_sql() -> str:
         f"o_orderkey % {ITER_MODULUS} AS dst, "
         "CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w FROM orders"
     )
+
+
+# Sparser directed graph for SCC / bow-tie: a filtered orders slice on
+# a wider vertex space gives avg degree ~3 — real cycles AND real
+# periphery (IN/OUT/tendrils), unlike the dense pagerank derivation
+# whose giant SCC swallows nearly every vertex.
+SCC_MODULUS = 1499
+
+
+def derived_directed_sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed graph for SCC / bow-tie: filtered orders folded mod
+    SCC_MODULUS."""
+    df = load(spark, sf_dir, "orders")
+    return df.filter((F.col("o_orderkey") % 7) < 2).select(
+        (F.col("o_custkey") % SCC_MODULUS).alias("src"),
+        (F.col("o_orderkey") % SCC_MODULUS).alias("dst"),
+    )
+
+
+def derived_directed_sparse_edges_sql() -> str:
+    return (
+        f"SELECT o_custkey % {SCC_MODULUS} AS src, "
+        f"o_orderkey % {SCC_MODULUS} AS dst "
+        "FROM orders WHERE o_orderkey % 7 < 2"
+    )
