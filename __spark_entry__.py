@@ -556,6 +556,51 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir))
 
 
+def _q_pii_redact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import pii_redact
+
+    # the synthetic corpus carries no organic PII, so both engine and
+    # oracle first inject emails/phones with the same deterministic
+    # doc_id-keyed augmentation, then redact
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_redact(aug)
+
+
+def _q_host_cap(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import host_cap
+
+    return host_cap(_docs(spark, sf_dir))
+
+
+def _q_decontaminate(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
 def _q_filtered_corpus(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         filtered_corpus,
@@ -847,6 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
+        "text_pii_redact": _q_pii_redact,
+        "corpus_host_cap": _q_host_cap,
+        "corpus_decontaminate": _q_decontaminate,
         "text_sample_stratified": _q_stratified_sample,
         "text_corpus_stats": _q_corpus_stats,
         "text_filtered_corpus": _q_filtered_corpus,
@@ -991,6 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracles.lang_id_sql(),
         "text_quality": oracles.quality_score_sql(),
         "text_fingerprint": oracles.fingerprint_sql(),
+        "text_pii_redact": oracles.pii_redact_sql(),
+        "corpus_host_cap": oracles.host_cap_sql(),
+        "corpus_decontaminate": oracles.decontaminate_sql(),
         "text_sample_stratified": oracles.stratified_sample_sql(),
         "text_corpus_stats": oracles.corpus_stats_sql(),
         "text_filtered_corpus": oracles.filtered_corpus_sql(

@@ -356,3 +356,61 @@ def test_kmv_distinct_exact_below_capacity_and_estimates_above(spark):
     # determinism
     r2 = kmv_distinct(big, "x", k=128).collect()[0]
     assert (r.est_distinct, r.kth_hash) == (r2.est_distinct, r2.kth_hash)
+
+
+def test_pii_redact(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at a.b-c%d@ex-ample.co.uk or x@y.io thanks"),
+            (1, "call 123-456-7890 and 999-888-7777 now"),
+            (2, "clean text no pii"),
+            (3, "mixed a@b.com and 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (rows[0].n_emails, rows[0].n_phones) == (2, 0)
+    assert (rows[1].n_emails, rows[1].n_phones) == (0, 2)
+    assert (rows[2].n_emails, rows[2].n_phones) == (0, 0)
+    assert (rows[3].n_emails, rows[3].n_phones) == (1, 1)
+    import hashlib as _h
+
+    want = _h.md5(b"mixed <EMAIL> and <PHONE>").hexdigest()
+    assert rows[3].clean_hash == want
+
+
+def test_host_cap(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import host_cap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a.com", 100),
+            (1, "a.com", 300),
+            (2, "a.com", 300),  # tie with 1 -> doc 1 ranks first
+            (3, "a.com", 50),
+            (4, "b.com", 10),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = {r.doc_id: r.rk for r in host_cap(docs, cap=2).collect()}
+    assert kept == {1: 1, 2: 2, 4: 1}
+
+
+def test_decontaminate(spark):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import decontaminate
+
+    # benchmark doc 0 (0 % 2 == 0); doc 1 copies a long span of it
+    # (many shared 3-grams), doc 3 shares nothing
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "XX alpha beta gamma delta epsilon zeta eta theta YY"),
+            (3, "totally unrelated words in this training document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_overlap for r in decontaminate(docs, bench_mod=2, min_overlap=3).collect()}
+    # doc 1 shares the 6 interior 3-grams of the copied span
+    assert out == {1: 6}

@@ -268,3 +268,34 @@ def embedding_near_dup(
     return verdicts.join(docs.select(id_col, "lang"), id_col).select(
         id_col, "dup_of", "cos", "lang"
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench_mod: int = 29,
+    n: int = 3,
+    min_overlap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least `min_overlap` distinct token n-grams with a benchmark set.
+    Returns (doc_id, n_overlap) for contaminated docs.
+
+    The benchmark set here is derived deterministically (docs with
+    doc_id % bench_mod == 0) so the oracle can mirror it; in
+    production it is the eval-suite text. Scale shape: the benchmark
+    shingle set is small by nature (eval suites are KBs-MBs, the
+    corpus is TBs) — broadcast it and the contamination check is a
+    map-side semi-join + one count aggregation over the corpus
+    shingles; the 100-TB side is never shuffled on the shingle key."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    return (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

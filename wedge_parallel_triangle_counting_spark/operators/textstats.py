@@ -405,3 +405,73 @@ def filtered_corpus(
     if langs is not None:
         out = out.filter(F.col("lang").isin(list(langs)))
     return out.select("doc_id", "lang", "n_tokens", "score")
+
+
+# PII patterns chosen from the RE2 ∩ Java-regex common subset so the
+# DuckDB oracle (RE2) and Spark (Java) match byte-for-byte: character
+# classes, bounded repetition, no lookaround, no \b.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_redact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails then phone numbers from the text column; returns
+    (doc_id, n_emails, n_phones, clean_hash) where clean_hash is the
+    md5 of the redacted text (byte-identical redaction is what the
+    oracle asserts; shipping the full redacted text would work too —
+    the hash keeps the compare frame small).
+
+    The standard pre-training scrub. Scale shape: two regexp_replace
+    + two regexp_count column expressions — pure JVM codegen over the
+    scan, no shuffle at all; the aggregate-free plan is a single
+    WholeStageCodegen map stage."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("long").alias("n_phones"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+def host_cap(
+    docs: DataFrame,
+    cap: int = 20,
+    host_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain balancing: keep at most `cap` documents per host,
+    preferring larger `order_col` (ties to the smaller doc id —
+    fully deterministic). Returns (doc_id, host, rk) for the
+    survivors.
+
+    The per-host cap is THE standard web-corpus rebalancing op (stops
+    boilerplate-heavy megasites from dominating the training mix).
+    Scale shape: one hash exchange on host + an in-partition top-cap;
+    Spark pushes a per-partition rank limit below the exchange for
+    row_number+filter (WindowGroupLimit), so the shuffle carries at
+    most cap rows per host per map partition, not the whole corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(host_col).alias("host"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

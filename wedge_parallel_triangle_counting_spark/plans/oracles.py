@@ -1829,3 +1829,68 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY 1, 2
 """.strip()
+
+
+_PII_AUG_CTE = """
+aug AS (
+    SELECT doc_id,
+        text ||
+        CASE WHEN doc_id % 2 = 0
+             THEN ' contact user' || doc_id || '@example.com now'
+             ELSE '' END ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END AS text
+    FROM documents
+)
+""".strip()
+
+
+def pii_redact_sql() -> str:
+    """Mirrors operators/textstats.py::pii_redact over the same
+    deterministic PII augmentation the Spark query applies (the
+    synthetic corpus has no organic emails/phones, so both sides
+    inject them identically first). Patterns live in the RE2 ∩
+    Java-regex common subset; DuckDB needs the 'g' flag to replace
+    every match like Spark does."""
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone = "\\d{3}-\\d{3}-\\d{4}"
+    return f"""
+WITH {_PII_AUG_CTE}
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+    md5(regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                       '{phone}', '<PHONE>', 'g')) AS clean_hash
+FROM aug
+""".strip()
+
+
+def host_cap_sql(cap: int = 20) -> str:
+    """Mirrors operators/textstats.py::host_cap (top-`cap` docs per
+    source by n_chars, ties to the smaller doc id)."""
+    return f"""
+WITH ranked AS (
+    SELECT doc_id, source AS host,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) AS rk
+    FROM documents
+)
+SELECT doc_id, host, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= {cap}
+""".strip()
+
+
+def decontaminate_sql(bench_mod: int = 29, min_overlap: int = 5) -> str:
+    """Mirrors operators/dedup.py::decontaminate: distinct 3-gram
+    overlap between each non-benchmark doc and the benchmark shingle
+    set (docs with doc_id % bench_mod == 0)."""
+    return f"""
+WITH {_SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {bench_mod} = 0)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % {bench_mod} <> 0
+GROUP BY s.doc_id
+HAVING count(*) >= {min_overlap}
+""".strip()
