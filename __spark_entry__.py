@@ -469,6 +469,14 @@ def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    return densest_subgraph(testdata.derived_planted_core_edges(spark, sf_dir))
+
+
 BFS_MAX_HOPS = 6
 
 
@@ -874,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop": _q_labelprop,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
+        "graph_densest": _q_densest,
         "graph_bfs_hops": _q_bfs_hops,
         "graph_sssp": _q_sssp,
         "ingest_extract": _q_ingest_extract,
@@ -1019,6 +1028,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_scc": oracles.scc_sql(testdata.derived_directed_sparse_edges_sql()),
         "graph_bowtie": oracles.bowtie_sql(
             testdata.derived_directed_sparse_edges_sql()
+        ),
+        "graph_densest": oracles.densest_sql(
+            raw_sql=testdata.derived_planted_core_edges_sql()
         ),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),

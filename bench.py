@@ -167,6 +167,18 @@ def main() -> None:
     extra["hits_5it_sec"] = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
+    from wedge_parallel_triangle_counting_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from wedge_parallel_triangle_counting_spark.plans import testdata
+
+    t0 = time.perf_counter()
+    strongly_connected_components(
+        testdata.derived_directed_sparse_edges(spark, sf_dir)
+    ).count()
+    extra["scc_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(

@@ -128,11 +128,13 @@ def test_fingerprint_ignores_formatting(spark):
 def test_ngram_jaccard_no_cached_blocks_leak(spark):
     # ADVICE round 2: the shingle frame must not leave a persisted
     # block behind; persistence is opt-in via a caches list the caller
-    # releases (assert the DELTA — other fixtures may hold persists)
+    # releases. Assert no NEW blocks (<=, not ==): other fixtures'
+    # stale persists can be dropped asynchronously by the
+    # ContextCleaner mid-test, shrinking the baseline count
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     ngram_jaccard_pairs(docs_df(spark), threshold=0.3).collect()
-    assert jsc.getPersistentRDDs().size() == before
+    assert jsc.getPersistentRDDs().size() <= before
     # the opt-in path persists, hands the frame to the caller, and the
     # caller's unpersist restores the baseline
     caches = []

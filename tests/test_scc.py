@@ -160,3 +160,31 @@ def test_bowtie_single_cycle(spark):
         r.cls: r.n_vertices for r in bowtie_decomposition(edges_df(spark, cyc)).collect()
     }
     assert bt == {"core": 3}
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from wedge_parallel_triangle_counting_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    # sparse 40-vertex ring (density 1) + K12 on {100..111} (density 5.5).
+    # Round 0: n=52, m=106, peel keeps deg*52 > 424 i.e. deg >= 9 —
+    # exactly the clique (deg 11); the ring (deg 2) is stripped, so the
+    # best round must be round 1 = the planted clique itself.
+    ring = [(i, (i + 1) % 40) for i in range(40)]
+    k12 = [(100 + a, 100 + b) for a in range(12) for b in range(a + 1, 12)]
+    row = densest_subgraph(edges_df(spark, ring + k12)).collect()[0]
+    assert (row.n_vertices, row.n_edges) == (12, 66)
+    assert row.best_round == 1
+    assert row.density_ppm == 66 * 1_000_000 // 12
+
+
+def test_densest_subgraph_empty_and_uniform(spark):
+    from wedge_parallel_triangle_counting_spark.operators.densest import (
+        densest_subgraph,
+    )
+
+    assert densest_subgraph(edges_df(spark, [(1, 1)])).count() == 0
+    # a triangle: the whole graph is the densest subgraph, round 0
+    row = densest_subgraph(edges_df(spark, [(0, 1), (1, 2), (2, 0)])).collect()[0]
+    assert (row.best_round, row.n_vertices, row.n_edges) == (0, 3, 3)

@@ -1894,3 +1894,48 @@ WHERE s.doc_id % {bench_mod} <> 0
 GROUP BY s.doc_id
 HAVING count(*) >= {min_overlap}
 """.strip()
+
+
+def densest_sql(rounds: int = 16, raw_sql: str | None = None) -> str:
+    """Mirrors operators/densest.py::densest_subgraph — the unrolled
+    greedy peel (eps=1: keep v iff deg(v)*n > 4*m), integer-only
+    comparisons, best round by the HUGEINT surrogate m*10^12 // n with
+    ties to the earlier round. `rounds` must be >= the peel depth
+    (~2*log2 n); rounds past the empty graph contribute n=0 stats rows
+    that the WHERE n > 0 filter drops, so overshooting is safe."""
+    raw_sql = raw_sql or derived_edges_sql()
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw WHERE src <> dst "
+        "UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst))",
+        "s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS round, "
+        "count(DISTINCT src) AS n, count(*) // 2 AS m FROM e0)",
+    ]
+    prev_e, prev_s = "e0", "s0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS v FROM {prev_e} GROUP BY src "
+            f"HAVING count(*) * (SELECT n FROM {prev_s}) > 4 * (SELECT m FROM {prev_s}))"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev_e} e "
+            f"JOIN k{i} a ON e.src = a.v JOIN k{i} b ON e.dst = b.v)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT CAST({i} AS BIGINT) AS round, "
+            f"count(DISTINCT src) AS n, count(*) // 2 AS m FROM e{i})"
+        )
+        prev_e, prev_s = f"e{i}", f"s{i}"
+    stats_union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(rounds + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+stats AS ({stats_union})
+SELECT round AS best_round, n AS n_vertices, m AS n_edges,
+       m * 1000000 // n AS density_ppm
+FROM stats WHERE n > 0
+ORDER BY CAST(m AS HUGEINT) * 1000000000000 // n DESC, round ASC
+LIMIT 1"""
+    )

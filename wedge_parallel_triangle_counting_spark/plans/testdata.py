@@ -110,3 +110,27 @@ def derived_directed_sparse_edges_sql() -> str:
         f"o_orderkey % {SCC_MODULUS} AS dst "
         "FROM orders WHERE o_orderkey % 7 < 2"
     )
+
+
+def derived_planted_core_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse background graph + a planted dense core on vertices
+    0..36 (a lineitem slice folded mod 37 — near-clique): the graph
+    shape densest-subgraph mining exists for. Background density
+    ~2.9, core density ~17 — the greedy peel must strip the
+    background to find the core, exercising best_round > 0."""
+    bg = derived_directed_sparse_edges(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    core = li.filter((F.col("l_orderkey") % 20) == 0).select(
+        (F.col("l_orderkey") % 37).alias("src"),
+        (F.col("l_partkey") % 37).alias("dst"),
+    )
+    return bg.unionByName(core)
+
+
+def derived_planted_core_edges_sql() -> str:
+    return (
+        f"{derived_directed_sparse_edges_sql()} "
+        "UNION ALL "
+        "SELECT l_orderkey % 37 AS src, l_partkey % 37 AS dst "
+        "FROM lineitem WHERE l_orderkey % 20 = 0"
+    )
