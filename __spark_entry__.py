@@ -477,6 +477,37 @@ def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph(testdata.derived_planted_core_edges(spark, sf_dir))
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-partition modularity of the page link graph — how
+    host-clustered the web crawl is."""
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.quality import modularity
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        extract_links,
+        host_of,
+    )
+
+    links = extract_links(doc_pages_hosted(spark, sf_dir))
+    edges = links.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    urls = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    assignment = urls.select("v", host_of(F.col("v")).alias("community"))
+    return modularity(edges, assignment)
+
+
+def _q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.quality import transitivity
+
+    return transitivity(testdata.derived_edges(spark, sf_dir))
+
+
 BFS_MAX_HOPS = 6
 
 
@@ -883,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
         "graph_densest": _q_densest,
+        "graph_modularity": _q_modularity,
+        "graph_transitivity": _q_transitivity,
         "graph_bfs_hops": _q_bfs_hops,
         "graph_sssp": _q_sssp,
         "ingest_extract": _q_ingest_extract,
@@ -1032,6 +1065,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_densest": oracles.densest_sql(
             raw_sql=testdata.derived_planted_core_edges_sql()
         ),
+        "graph_modularity": oracles.modularity_host_sql(),
+        "graph_transitivity": oracles.transitivity_sql(),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),

@@ -1939,3 +1939,85 @@ FROM stats WHERE n > 0
 ORDER BY CAST(m AS HUGEINT) * 1000000000000 // n DESC, round ASC
 LIMIT 1"""
     )
+
+
+def modularity_host_sql() -> str:
+    """Mirrors operators/quality.modularity over the hosted page link
+    graph under the host partition (community = url host). All
+    quadratic terms widened to HUGEINT == Spark DECIMAL(38,0); the
+    ppm division uses the +q_den shift so floor semantics match
+    Spark's truncating `div` on the nonnegative numerator."""
+    from .docpages import doc_pages_hosted_sql
+
+    return f"""
+WITH pages AS ({doc_pages_hosted_sql()}),
+links AS (
+    SELECT url AS src_url,
+           unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS dst_url
+    FROM pages
+),
+e AS (
+    SELECT DISTINCT least(src_url, dst_url) AS a, greatest(src_url, dst_url) AS b
+    FROM links WHERE src_url <> dst_url
+),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+sym AS (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e),
+deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+vc AS (SELECT v, d, regexp_extract(v, '^https?://([^/]+)', 1) AS c FROM deg),
+per_d AS (SELECT c, CAST(sum(d) AS HUGEINT) AS dsum FROM vc GROUP BY c),
+intra AS (
+    SELECT ca.c AS c, count(*) AS m_in
+    FROM e JOIN vc ca ON e.a = ca.v JOIN vc cb ON e.b = cb.v
+    WHERE ca.c = cb.c GROUP BY ca.c
+),
+per_c AS (
+    SELECT p.c, p.dsum, COALESCE(i.m_in, 0) AS m_in
+    FROM per_d p LEFT JOIN intra i ON p.c = i.c
+),
+tot AS (
+    SELECT count(*) AS n_communities,
+           CAST(sum(m_in) AS BIGINT) AS intra_edges,
+           CAST(sum(m_in) AS HUGEINT) AS s_in,
+           sum(dsum * dsum) AS s_d2
+    FROM per_c
+)
+SELECT CAST(n_communities AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       intra_edges,
+       CAST(
+         ((4 * (SELECT m FROM mm) * s_in - s_d2
+           + 4 * (SELECT m FROM mm) * (SELECT m FROM mm)) * 1000000)
+         // (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) - 1000000
+       AS BIGINT) AS q_ppm
+FROM tot WHERE (SELECT m FROM mm) > 0
+""".strip()
+
+
+def transitivity_sql(raw_sql: str | None = None) -> str:
+    """Mirrors operators/quality.transitivity: textbook 3-join triangle
+    count + symmetric-degree wedge closed form, exact ppm ratio."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+),
+tri AS (
+    SELECT CAST(count(*) AS HUGEINT) AS t
+    FROM und e1
+    JOIN und e2 ON e1.dst = e2.src
+    JOIN und e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+sym AS (SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und),
+deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+wed AS (
+    SELECT COALESCE(sum((CAST(d AS HUGEINT) * (d - 1)) // 2),
+                    CAST(0 AS HUGEINT)) AS w
+    FROM deg
+)
+SELECT CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
+       CAST(w AS BIGINT) AS wedges,
+       CAST(((SELECT t FROM tri) * 3000000) // w AS BIGINT) AS transitivity_ppm
+FROM wed WHERE w > 0
+""".strip()
