@@ -477,6 +477,13 @@ def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph(testdata.derived_planted_core_edges(spark, sf_dir))
 
 
+def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_urls_dirty
+    from wedge_parallel_triangle_counting_spark.plans.ingest import canonicalize_urls
+
+    return canonicalize_urls(doc_urls_dirty(spark, sf_dir))
+
+
 def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-partition modularity of the page link graph — how
     host-clustered the web crawl is."""
@@ -918,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity": _q_transitivity,
         "graph_bfs_hops": _q_bfs_hops,
         "graph_sssp": _q_sssp,
+        "ingest_canonical_urls": _q_canonical_urls,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
@@ -1067,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_modularity": oracles.modularity_host_sql(),
         "graph_transitivity": oracles.transitivity_sql(),
+        "ingest_canonical_urls": oracles.canonical_urls_sql(),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),

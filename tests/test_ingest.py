@@ -98,3 +98,23 @@ def test_host_graph_rollup(spark):
         ("a.example", "a.example"): 1,
         ("b.example", "a.example"): 2,
     }
+
+
+def test_canonical_url_rules(spark):
+    from wedge_parallel_triangle_counting_spark.plans.ingest import canonicalize_urls
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://H3.Example/d/7#sec2", "https://h3.example/d/7"),
+        ("https://h1.example:443/d/11", "https://h1.example/d/11"),
+        ("http://h2.example:80/d/12/", "http://h2.example/d/12"),
+        ("https://h4.example:8443/d/13", "https://h4.example:8443/d/13"),
+        ("https://h0.example/d/15", "https://h0.example/d/15"),
+        ("https://h0.example/", "https://h0.example"),
+        ("https://h0.example/s?q=a&b=2#x", "https://h0.example/s?q=a&b=2"),
+        ("h5.example/d/9", "h5.example/d/9"),  # schemeless: pass through
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.url_canonical for r in canonicalize_urls(df).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)

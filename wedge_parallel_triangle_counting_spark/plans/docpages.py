@@ -108,3 +108,45 @@ SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
        lang
 FROM documents
 """.strip()
+
+
+def doc_urls_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url) with deterministically DIRTY urls — the five
+    mess classes a crawl frontier actually contains, cycled by
+    doc_id % 5:
+
+      0: upper-cased scheme+host plus a fragment
+      1: explicit default https port :443
+      2: http with explicit default port :80 and a trailing slash
+      3: non-default port :8443 (must be KEPT by canonicalization)
+      4: already clean
+
+    The SQL twin mirrors this character for character."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = (F.col("doc_id") % N_HOSTS).cast("string")
+    i = F.col("doc_id").cast("string")
+    c = F.col("doc_id") % 5
+    url = (
+        F.when(c == 0, F.concat(F.lit("HTTPS://H"), k, F.lit(".Example/d/"), i, F.lit("#sec2")))
+        .when(c == 1, F.concat(F.lit("https://h"), k, F.lit(".example:443/d/"), i))
+        .when(c == 2, F.concat(F.lit("http://h"), k, F.lit(".example:80/d/"), i, F.lit("/")))
+        .when(c == 3, F.concat(F.lit("https://h"), k, F.lit(".example:8443/d/"), i))
+        .otherwise(F.concat(F.lit("https://h"), k, F.lit(".example/d/"), i))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def doc_urls_dirty_sql() -> str:
+    k = f"CAST(doc_id % {N_HOSTS} AS VARCHAR)"
+    i = "CAST(doc_id AS VARCHAR)"
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'HTTPS://H' || {k} || '.Example/d/' || {i} || '#sec2'
+         WHEN 1 THEN 'https://h' || {k} || '.example:443/d/' || {i}
+         WHEN 2 THEN 'http://h' || {k} || '.example:80/d/' || {i} || '/'
+         WHEN 3 THEN 'https://h' || {k} || '.example:8443/d/' || {i}
+         ELSE 'https://h' || {k} || '.example/d/' || {i}
+       END AS url
+FROM documents
+""".strip()

@@ -100,3 +100,55 @@ def host_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+# -- url canonicalization ------------------------------------------------
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/#?]*)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/#?]*(.*)$"
+
+
+def canonical_url(url_col):
+    """Canonical form of a crawl url, as ONE pure JVM column
+    expression (regexp extracts + concat — codegen'd, pushdown-safe,
+    no Python):
+
+      1. scheme and host lowercased
+      2. explicit default port stripped (http:80 / https:443);
+         non-default ports kept
+      3. fragment (#...) stripped
+      4. trailing slash of the path stripped ('/d/5/' == '/d/5';
+         a bare root '/' collapses to the empty path)
+      5. query string kept verbatim
+      6. urls WITHOUT a scheme pass through unchanged (the crawl
+         frontier dedup must not invent structure)
+
+    The dedup key for frontier/url-seen joins at 10^12-document
+    scale: canonicalize-then-hash makes the seen-set join an
+    equi-join on a deterministic key."""
+    scheme = F.lower(F.regexp_extract(url_col, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(url_col, _HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != F.lit("")) & ~(
+        ((scheme == F.lit("http")) & (port == F.lit("80")))
+        | ((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    rest = F.regexp_extract(url_col, _REST_RE, 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.when(scheme == F.lit(""), url_col).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            rest,
+        )
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds `url_canonical` next to the raw url column."""
+    return df.withColumn("url_canonical", canonical_url(F.col(url_col)))

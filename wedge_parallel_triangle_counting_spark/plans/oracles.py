@@ -2021,3 +2021,37 @@ SELECT CAST((SELECT t FROM tri) AS BIGINT) AS triangles,
        CAST(((SELECT t FROM tri) * 3000000) // w AS BIGINT) AS transitivity_ppm
 FROM wed WHERE w > 0
 """.strip()
+
+
+def canonical_urls_sql() -> str:
+    """Mirrors plans/ingest.canonical_url over the dirty-url
+    derivation: lowercase scheme+host, strip default port / fragment /
+    trailing slash, keep non-default ports and query strings,
+    pass schemeless urls through."""
+    from .docpages import doc_urls_dirty_sql
+
+    return f"""
+WITH raw AS ({doc_urls_dirty_sql()}),
+parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/#?]*)', 1) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/#?]*(.*)$', 1) AS rest0
+    FROM raw
+),
+p2 AS (
+    SELECT doc_id, url, scheme,
+           lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           regexp_replace(regexp_replace(rest0, '#.*$', ''), '/$', '') AS rest
+    FROM parts
+)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' THEN url
+            ELSE scheme || '://' || host ||
+                 CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                               OR (scheme = 'https' AND port = '443'))
+                      THEN ':' || port ELSE '' END || rest
+       END AS url_canonical
+FROM p2
+""".strip()
