@@ -477,6 +477,17 @@ def _q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph(testdata.derived_planted_core_edges(spark, sf_dir))
 
 
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_texts_boilerplated,
+    )
+
+    return remove_boilerplate_lines(doc_texts_boilerplated(spark, sf_dir))
+
+
 def _q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.plans.docpages import doc_urls_dirty
     from wedge_parallel_triangle_counting_spark.plans.ingest import canonicalize_urls
@@ -926,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_hops": _q_bfs_hops,
         "graph_sssp": _q_sssp,
         "ingest_canonical_urls": _q_canonical_urls,
+        "text_boilerplate_removal": _q_boilerplate_removal,
         "ingest_extract": _q_ingest_extract,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
@@ -1076,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_modularity": oracles.modularity_host_sql(),
         "graph_transitivity": oracles.transitivity_sql(),
         "ingest_canonical_urls": oracles.canonical_urls_sql(),
+        "text_boilerplate_removal": oracles.boilerplate_removal_sql(),
         "ingest_extract": oracles.ingest_extract_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),

@@ -416,3 +416,27 @@ def test_decontaminate(spark):
     out = {r.doc_id: r.n_overlap for r in decontaminate(docs, bench_mod=2, min_overlap=3).collect()}
     # doc 1 shares the 6 interior 3-grams of the copied span
     assert out == {1: 6}
+
+
+def test_remove_boilerplate_lines(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [
+        # host A: 3 docs share "NAV"; bodies unique; doc 3 is pure chrome
+        (1, "A", "NAV\nbody one\nend one"),
+        (2, "A", "NAV\nbody two"),
+        (3, "A", "NAV"),
+        # host B: only 1 doc has "NAV" -> NOT boilerplate there
+        (4, "B", "NAV\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines_kept, r.n_lines_removed)
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got[1] == ("body one\nend one", 2, 1)  # order preserved
+    assert got[2] == ("body two", 1, 1)
+    assert 3 not in got  # all-chrome doc dropped
+    assert got[4] == ("NAV\nbody four", 2, 0)  # per-host scoping

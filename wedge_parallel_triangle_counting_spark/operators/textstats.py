@@ -475,3 +475,59 @@ def host_cap(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal, the CCNet/RefinedWeb chrome
+    filter: a line is boilerplate iff it occurs in >= `min_docs`
+    DISTINCT documents of the SAME host; such lines (headers, nav
+    bars, cookie banners, footers) are dropped and each document is
+    reassembled from its surviving lines in original order.
+
+    Returns (doc_id, text_clean, n_lines_kept, n_lines_removed);
+    documents whose every line was boilerplate are dropped (their
+    payload is pure chrome).
+
+    Scale shape: posexplode on '\\n', ONE (host, line) aggregation
+    whose partial (map-side) combine absorbs the per-host repetition
+    that makes a line boilerplate in the first place, a left_anti
+    equi-join back, and one per-doc rollup with an in-group
+    struct-sort reassembly — no window over the corpus, no Python.
+    The (host, line) key is naturally skew-bounded: a hot boilerplate
+    line collapses to one row per map partition before the shuffle.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("host", "line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("host", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = lines.join(boiler, ["host", "line"], "left_anti")
+    out = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return out.join(totals, "doc_id").select(
+        "doc_id",
+        "text_clean",
+        "n_lines_kept",
+        (F.col("n_total") - F.col("n_lines_kept")).alias("n_lines_removed"),
+    )

@@ -150,3 +150,32 @@ SELECT doc_id,
        END AS url
 FROM documents
 """.strip()
+
+
+def doc_texts_boilerplated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, text) where text = per-host boilerplate header,
+    nav and footer lines wrapped around the document body — the shape
+    line-level boilerplate removal exists for (every doc of a host
+    shares the same 3 chrome lines; the body is the unique payload).
+    The SQL twin mirrors this character for character."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = F.col("source")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Copyright "), s, F.lit(" all rights reserved")),
+        F.concat(F.lit("home | about | contact - "), s),
+        F.col("text"),
+        F.concat(F.lit("subscribe to the "), s, F.lit(" newsletter")),
+    )
+    return docs.select("doc_id", "source", text.alias("text"))
+
+
+def doc_texts_boilerplated_sql() -> str:
+    return """
+SELECT doc_id, source,
+       'Copyright ' || source || ' all rights reserved' || chr(10) ||
+       'home | about | contact - ' || source || chr(10) ||
+       text || chr(10) ||
+       'subscribe to the ' || source || ' newsletter' AS text
+FROM documents
+""".strip()

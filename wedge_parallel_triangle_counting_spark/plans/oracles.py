@@ -2055,3 +2055,40 @@ SELECT doc_id, url,
        END AS url_canonical
 FROM p2
 """.strip()
+
+
+def boilerplate_removal_sql(min_docs: int = 3) -> str:
+    """Mirrors operators/textstats.remove_boilerplate_lines over the
+    boilerplated-text derivation."""
+    from .docpages import doc_texts_boilerplated_sql
+
+    return f"""
+WITH docsrc AS ({doc_texts_boilerplated_sql()}),
+toks AS (
+    SELECT doc_id, source AS host, string_split(text, chr(10)) AS ls
+    FROM docsrc
+),
+lines AS (
+    SELECT doc_id, host, i - 1 AS pos, ls[i] AS line
+    FROM toks, unnest(generate_series(1, len(ls))) AS u(i)
+),
+boiler AS (
+    SELECT host, line FROM lines
+    GROUP BY host, line
+    HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+totals AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id),
+kept AS (
+    SELECT l.* FROM lines l
+    ANTI JOIN boiler b ON l.host = b.host AND l.line = b.line
+),
+reassembled AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           count(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT r.doc_id, r.text_clean, r.n_lines_kept,
+       t.n_total - r.n_lines_kept AS n_lines_removed
+FROM reassembled r JOIN totals t ON r.doc_id = t.doc_id
+""".strip()
