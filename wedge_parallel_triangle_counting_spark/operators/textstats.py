@@ -502,9 +502,12 @@ def remove_boilerplate_lines(
     The (host, line) key is naturally skew-bounded: a hot boilerplate
     line collapses to one row per map partition before the shuffle.
     """
+    # n_total rides the line rows (constant per doc) so the per-doc
+    # count needs no separate corpus scan or join-back
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(host_col).alias("host"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_total"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     boiler = (
@@ -513,21 +516,24 @@ def remove_boilerplate_lines(
         .filter(F.col("nd") >= min_docs)
         .select("host", "line")
     )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
     kept = lines.join(boiler, ["host", "line"], "left_anti")
-    out = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("n_lines_kept"),
-    )
-    return out.join(totals, "doc_id").select(
-        "doc_id",
-        "text_clean",
-        "n_lines_kept",
-        (F.col("n_total") - F.col("n_lines_kept")).alias("n_lines_removed"),
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.first("n_total").alias("n_total"),
+        )
+        .select(
+            "doc_id",
+            "text_clean",
+            "n_lines_kept",
+            (F.col("n_total") - F.col("n_lines_kept")).alias("n_lines_removed"),
+        )
     )
