@@ -183,6 +183,41 @@ def _q_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIS_MAX_ROUNDS = 16  # measured convergence at sf0.01: 6 rounds
+# coloring rounds = the graph's increasing-priority path depth —
+# measured 96 at sf0.01; overshoot rounds are no-ops on both sides
+COLORING_MAX_ROUNDS = 128
+
+
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(
+        testdata.derived_pagerank_edges(spark, sf_dir), max_rounds=MIS_MAX_ROUNDS
+    )
+
+
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.mis import luby_coloring
+
+    return luby_coloring(
+        testdata.derived_pagerank_edges(spark, sf_dir),
+        max_rounds=COLORING_MAX_ROUNDS,
+    )
+
+
+def _q_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.linkpred import (
+        link_prediction_scores,
+    )
+
+    return link_prediction_scores(
+        testdata.derived_pagerank_edges(spark, sf_dir), method="jaccard"
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
 
@@ -384,6 +419,22 @@ def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hs.select(
         "v", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
     )
+
+
+EIGEN_ITERS = 5
+
+
+def _q_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    ec = eigenvector_centrality(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_iters=EIGEN_ITERS
+    )
+    return ec.select("v", F.round("score", 6).alias("score"))
 
 
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,8 +972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bipartite_projection": _q_bipartite_projection,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
+        "graph_link_jaccard": _q_link_jaccard,
+        "graph_mis": _q_mis,
+        "graph_coloring": _q_coloring,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "graph_eigencentrality": _q_eigencentrality,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
         "components": _q_components,
@@ -1048,11 +1103,25 @@ def oracle_sql() -> dict[str, str]:
         "graph_link_adamic_adar": oracles.link_scores_sql(
             raw_sql=testdata.derived_pagerank_edges_sql()
         ),
+        "graph_link_jaccard": oracles.link_scores_sql(
+            method="jaccard", raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_mis": oracles.mis_sql(
+            testdata.derived_pagerank_edges_sql(), MIS_MAX_ROUNDS
+        ),
+        "graph_coloring": oracles.mis_sql(
+            testdata.derived_pagerank_edges_sql(),
+            COLORING_MAX_ROUNDS,
+            coloring=True,
+        ),
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
         "hits": oracles.hits_sql(
             testdata.derived_pagerank_edges_sql(), HITS_ITERS
+        ),
+        "graph_eigencentrality": oracles.eigencentrality_sql(
+            testdata.derived_pagerank_edges_sql(), EIGEN_ITERS
         ),
         "pagerank_personalized": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(),

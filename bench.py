@@ -167,6 +167,15 @@ def main() -> None:
     extra["hits_5it_sec"] = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
+    from wedge_parallel_triangle_counting_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    t0 = time.perf_counter()
+    eigenvector_centrality(pe, num_iters=5).count()
+    extra["eigen_5it_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
     from wedge_parallel_triangle_counting_spark.operators.scc import (
         strongly_connected_components,
     )

@@ -101,3 +101,63 @@ def test_bfs_hops_explicit_source(spark):
     pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
     got = {r.v: r.hops for r in shortest_hops(edges_df(spark, pairs), source=10).collect()}
     assert got == {10: 0, 11: 1}
+
+
+def _mis_props(pairs, rows):
+    """(independent?, maximal?) of a vertex set against an edge list."""
+    sel = {r.v for r in rows}
+    sym = {(a, b) for a, b in pairs if a != b} | {
+        (b, a) for a, b in pairs if a != b
+    }
+    independent = not any((a, b) in sym for a in sel for b in sel)
+    verts = {x for p in sym for x in p}
+    maximal = all(
+        v in sel or any((v, u) in sym and u in sel for u in verts)
+        for v in verts
+    )
+    return independent, maximal
+
+
+def test_mis_independent_and_maximal(spark):
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(60), rng.randrange(60)) for _ in range(220)})
+    rows = maximal_independent_set(edges_df(spark, pairs)).collect()
+    independent, maximal = _mis_props(pairs, rows)
+    assert independent and maximal
+    # deterministic: a second run (different partitioning) is identical
+    again = maximal_independent_set(edges_df(spark, pairs).repartition(7)).collect()
+    assert sorted((r.v, r.round) for r in rows) == sorted(
+        (r.v, r.round) for r in again
+    )
+    # K3: exactly one vertex selected, in round 1
+    k3 = maximal_independent_set(edges_df(spark, [(0, 1), (1, 2), (0, 2)])).collect()
+    assert len(k3) == 1 and k3[0].round == 1
+    # empty graph (self loops only)
+    assert maximal_independent_set(edges_df(spark, [(5, 5)])).count() == 0
+
+
+def test_luby_coloring_proper_and_total(spark):
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.mis import luby_coloring
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(150)})
+    rows = luby_coloring(edges_df(spark, pairs)).collect()
+    color = {r.v: r.round for r in rows}
+    sym = {(a, b) for a, b in pairs if a != b}
+    verts = {x for p in sym for x in p} | {b for a, b in sym}
+    # total: every incident vertex got exactly one color
+    assert set(color) == verts and len(rows) == len(color)
+    # proper: no edge joins two same-colored vertices
+    assert all(color[a] != color[b] for a, b in sym)
+    # round k's class must be nonempty for every k up to the max
+    # (each round selects at least the min-priority active vertex)
+    used = sorted(set(color.values()))
+    assert used == list(range(1, used[-1] + 1))

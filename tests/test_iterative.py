@@ -442,3 +442,65 @@ def test_hits_resume(spark, tmp_path):
     for v in direct:
         assert abs(resumed[v][0] - direct[v][0]) < 1e-12
         assert abs(resumed[v][1] - direct[v][1]) < 1e-12
+
+
+def numpy_eigencentrality(pairs, num_iters):
+    import numpy as np
+
+    e = sorted({(a, b) for a, b in pairs if a != b} | {(b, a) for a, b in pairs if a != b})
+    vs = sorted({x for p in e for x in p})
+    idx = {v: i for i, v in enumerate(vs)}
+    x = np.ones(len(vs))
+    for _ in range(num_iters):
+        nxt = np.zeros(len(vs))
+        for s, d in e:
+            nxt[idx[d]] += x[idx[s]]
+        nrm = np.sqrt((nxt * nxt).sum())
+        x = nxt / nrm if nrm > 0 else nxt
+    return {v: x[idx[v]] for v in vs}
+
+
+def test_eigencentrality_matches_numpy(spark):
+    from wedge_parallel_triangle_counting_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    pairs = _random_directed(17, 40, 160)
+    got = {
+        r.v: r.score
+        for r in eigenvector_centrality(edges_df(spark, pairs), 4).collect()
+    }
+    want = numpy_eigencentrality(pairs, 4)
+    assert set(got) == set(want)
+    for v, s in want.items():
+        assert abs(got[v] - s) < 1e-9
+    # triangle + pendant (non-bipartite, so the iteration converges):
+    # the triangle vertex holding the pendant dominates, the pendant trails
+    tri = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    rows = {r.v: r.score for r in eigenvector_centrality(edges_df(spark, tri), 8).collect()}
+    assert rows[2] > rows[0] and rows[3] < rows[0]
+    assert abs(rows[0] - rows[1]) < 1e-12  # symmetric pair
+    # empty graph (all self loops) -> empty frame, not a crash
+    empty = eigenvector_centrality(edges_df(spark, [(3, 3), (4, 4)]), 3)
+    assert empty.count() == 0
+
+
+def test_eigencentrality_resume(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    pairs = _random_directed(31, 25, 90)
+    df = edges_df(spark, pairs)
+    ckpt = str(tmp_path / "eigen")
+    eigenvector_centrality(df, num_iters=2, checkpoint_dir=ckpt, checkpoint_every=1)
+    resumed = {
+        r.v: r.score
+        for r in eigenvector_centrality(
+            df, num_iters=4, checkpoint_dir=ckpt, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    direct = {r.v: r.score for r in eigenvector_centrality(df, 4).collect()}
+    assert set(resumed) == set(direct)
+    for v in direct:
+        assert abs(resumed[v] - direct[v]) < 1e-12

@@ -330,3 +330,78 @@ def test_hits_round_never_exchanges_edge_table(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_eigencentrality_round_single_edge_exchange(spark):
+    """Eigencentrality loop shape: sym is hash(src)-clustered once
+    (build_sym_clustered), so a steady-state iteration's only
+    src/dst-keyed ENSURE_REQUIREMENTS exchange is the contribution
+    aggregation's — and that one sits above a map-side partial
+    HashAggregate (combiner-reduced payload, not edge-sized). Any
+    exchange whose child is not a partial aggregate would mean the
+    edge cache is being re-shuffled every round. Broadcast disabled to
+    force the at-scale SortMergeJoin plan."""
+    from wedge_parallel_triangle_counting_spark.operators.checkpointing import (
+        CheckpointedLoop,
+        loop_partitions,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        build_sym_clustered,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.read.parquet(f"{SF}/orders.parquet").select(
+            (F.col("o_custkey") % 601).alias("src"),
+            (F.col("o_orderkey") % 601).alias("dst"),
+        )
+        npart = loop_partitions(spark)
+        sym = build_sym_clustered(edges, npart, key="src").persist()
+        sym.count()
+        loop = CheckpointedLoop(spark, "eigen_plan", None, 5)
+        state = (
+            sym.select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", F.lit(1.0).alias("score"))
+        )
+        plan = None
+        for it in range(3):
+            raw = (
+                sym.join(state.withColumnRenamed("v", "src"), "src")
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.sum("score").alias("x"))
+            )
+            nrm = raw.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+            new_state = raw.crossJoin(F.broadcast(nrm)).select(
+                "v", (F.col("x") / F.col("nrm")).alias("score")
+            )
+            if it == 2:
+                new_state.count()
+                plan = new_state._jdf.queryExecution().executedPlan().toString()
+            state = loop.step(new_state, it, eager=False)
+        state.count()
+        sym.unpersist()
+        import re
+
+        final = plan.split("== Initial Plan ==")[0]
+        lines = final.splitlines()
+        pat = re.compile(
+            r"Exchange hashpartitioning\((?:src|dst)#\d+L?, \d+\), ENSURE_REQUIREMENTS"
+        )
+        offending = []
+        matched = 0
+        for i, line in enumerate(lines):
+            if not pat.search(line):
+                continue
+            matched += 1
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "HashAggregate" in child and "partial_" in child:
+                continue
+            offending.append(line.strip())
+        assert not offending, offending
+        assert matched > 0, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)

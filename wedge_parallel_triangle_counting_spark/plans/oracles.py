@@ -140,6 +140,37 @@ def link_scores_sql(
         wsum = "sum(1.0 / ln(d.d))"
     elif method == "resource_allocation":
         wsum = "sum(1.0 / d.d)"
+    elif method == "jaccard":
+        # |N∩N| / |N∪N| attaches per-endpoint degrees AFTER the pair
+        # aggregation (one division, no transcendental — identical
+        # IEEE result both engines), mirroring the engine's two
+        # degree joins on the bounded candidate list
+        return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+wp AS (
+    SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS cn
+    FROM sym a
+    JOIN sym b ON a.src = b.src AND a.dst < b.dst
+    GROUP BY 1, 2
+),
+wj AS (
+    SELECT wp.id_a, wp.id_b, wp.cn,
+           CAST(wp.cn AS DOUBLE) / (da.d + db.d - wp.cn) AS wsum
+    FROM wp JOIN deg da ON da.v = wp.id_a JOIN deg db ON db.v = wp.id_b
+)
+SELECT wj.id_a, wj.id_b, wj.cn, round(wj.wsum, 6) AS score
+FROM wj LEFT JOIN sym e ON wj.id_a = e.src AND wj.id_b = e.dst
+WHERE e.src IS NULL
+ORDER BY score DESC, wj.id_a, wj.id_b
+LIMIT {k}
+""".strip()
     else:
         raise ValueError(f"unsupported oracle method {method!r}")
     return f"""
@@ -678,6 +709,82 @@ SELECT h.v,
        round(a.authority, {ndigits}) AS authority
 FROM {prev_h} h JOIN {final_a} a USING (v)
 """.rstrip()
+    )
+
+
+def mis_sql(raw_sql: str, num_rounds: int, coloring: bool = False) -> str:
+    """Mirrors operators/mis.py: deterministic Luby with the
+    md5-prefix * 2^31 + id total-order priority, unrolled as
+    MATERIALIZED CTE rounds. `coloring=False` removes selected
+    vertices AND their neighbors each round (MIS); `coloring=True`
+    removes only the selected vertices (Jones-Plassmann greedy
+    coloring). Overshooting rounds select nothing from an empty
+    active set, so the engine's early exit is safe."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "e AS (SELECT src, dst FROM clean "
+        "UNION SELECT dst AS src, src AS dst FROM clean)",
+        "a0 AS (SELECT DISTINCT src AS v, "
+        "('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 8))::BIGINT "
+        "* 2147483648 + src AS p FROM e)",
+    ]
+    sels = []
+    for k in range(1, num_rounds + 1):
+        prev = f"a{k - 1}"
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT a.v, {k} AS round FROM {prev} a "
+            f"LEFT JOIN (SELECT e.src AS v, min(d.p) AS mn FROM e "
+            f"JOIN {prev} s ON s.v = e.src JOIN {prev} d ON d.v = e.dst "
+            f"GROUP BY e.src) nb USING (v) "
+            f"WHERE nb.mn IS NULL OR a.p < nb.mn)"
+        )
+        drop = f"SELECT v FROM s{k}"
+        if not coloring:
+            drop += (
+                f" UNION SELECT e.dst AS v FROM e "
+                f"JOIN s{k} s ON s.v = e.src"
+            )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT a.v, a.p FROM {prev} a "
+            f"WHERE a.v NOT IN ({drop}))"
+        )
+        sels.append(f"SELECT v, round FROM s{k}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def eigencentrality_sql(raw_sql: str, num_iters: int, ndigits: int = 6) -> str:
+    """Eigenvector centrality (power iteration on the symmetric simple
+    graph) with `num_iters` iterations unrolled as chained CTEs, same
+    generation style as hits_sql. Semantics identical to
+    operators/eigencentrality.py: sym = distinct both-direction
+    self-loop-free edges, x0 = 1 for every incident vertex, each step
+    x'(v) = sum of neighbor scores then L2 normalization. Because sym
+    is symmetric every vertex has a neighbor, so the per-step aggregate
+    already covers the whole vertex set (no left-join backfill)."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM raw WHERE src <> dst "
+        "UNION ALL SELECT dst AS src, src AS dst FROM raw WHERE src <> dst))",
+        "x0 AS (SELECT DISTINCT src AS v, CAST(1 AS DOUBLE) AS score FROM e)",
+    ]
+    prev = "x0"
+    for k in range(1, num_iters + 1):
+        ctes.append(
+            f"xr{k} AS (SELECT e.dst AS v, sum(p.score) AS x FROM e "
+            f"JOIN {prev} p ON p.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(f"xn{k} AS (SELECT sqrt(sum(x * x)) AS nrm FROM xr{k})")
+        ctes.append(
+            f"x{k} AS (SELECT v, CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END "
+            f"AS score FROM xr{k} CROSS JOIN xn{k})"
+        )
+        prev = f"x{k}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(score, {ndigits}) AS score FROM {prev}"
     )
 
 
