@@ -311,6 +311,30 @@ def _q_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANF_K = 32
+ANF_MAX_HOPS = 4
+
+
+def _q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.anf import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(
+        testdata.derived_pagerank_edges(spark, sf_dir), k=ANF_K, max_hops=ANF_MAX_HOPS
+    )
+
+
+def _q_eff_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.anf import (
+        effective_diameter,
+    )
+
+    return effective_diameter(
+        testdata.derived_pagerank_edges(spark, sf_dir), k=ANF_K, max_hops=ANF_MAX_HOPS
+    )
+
+
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import node2vec_walks
 
@@ -969,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": _q_node2vec,
         "graph_harmonic": _q_harmonic,
         "graph_hop_histogram": _q_hop_histogram,
+        "graph_anf": _q_anf,
+        "graph_eff_diameter": _q_eff_diameter,
         "graph_bipartite_projection": _q_bipartite_projection,
         "graph_link_prediction": _q_link_prediction,
         "graph_link_adamic_adar": _q_link_adamic_adar,
@@ -1093,6 +1119,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hop_histogram": oracles.hop_histogram_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
+        ),
+        "graph_anf": oracles.anf_sql(
+            testdata.derived_pagerank_edges_sql(), k=ANF_K, max_hops=ANF_MAX_HOPS
+        ),
+        "graph_eff_diameter": oracles.effective_diameter_sql(
+            testdata.derived_pagerank_edges_sql(), k=ANF_K, max_hops=ANF_MAX_HOPS
         ),
         "graph_bipartite_projection": oracles.bipartite_projection_sql(
             k=50, min_weight=2

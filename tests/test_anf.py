@@ -1,0 +1,74 @@
+"""ANF / effective-diameter invariants (operators/anf.py).
+
+Small-k saturation on golden graphs makes the KMV estimate EXACT
+(below k distinct hashes the sketch IS the ball), so ball sizes are
+asserted against hand counts; the estimator branch is exercised by
+forcing k below the ball size and bounding the estimate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wedge_parallel_triangle_counting_spark.operators.anf import (
+    effective_diameter,
+    neighborhood_function,
+)
+
+from .conftest import BARBELL, C4, K4, TWO_COMP, edges_df
+
+
+def _nf(spark, pairs, **kw):
+    rows = neighborhood_function(edges_df(spark, pairs), **kw).collect()
+    return {r["hop"]: r["nf_est"] for r in rows}
+
+
+def test_anf_exact_below_saturation_c4(spark):
+    # C4 balls: hop0 = 1 each, hop1 = 3 each, hop2 = whole cycle
+    nf = _nf(spark, C4, k=32, max_hops=3)
+    assert nf == {0: 4, 1: 12, 2: 16, 3: 16}
+
+
+def test_anf_two_components_never_mix(spark):
+    # two disjoint K3s: balls saturate at each component's size
+    nf = _nf(spark, TWO_COMP, k=32, max_hops=3)
+    assert nf == {0: 6, 1: 18, 2: 18, 3: 18}
+
+
+def test_anf_monotone_and_bounded(spark):
+    nf = _nf(spark, BARBELL, k=32, max_hops=4)
+    n = 8
+    vals = [nf[h] for h in sorted(nf)]
+    assert vals == sorted(vals)
+    assert nf[0] == n and all(v <= n * n for v in vals)
+
+
+def test_anf_estimator_branch_bounded(spark):
+    # k=2 < |ball|: the (k-1)*SPACE div kth estimate engages; it is
+    # clamped to n and can never report fewer than k reachable
+    nf = _nf(spark, K4, k=2, max_hops=2)
+    assert nf[0] == 4
+    assert 4 * 2 <= nf[1] <= 4 * 4 and 4 * 2 <= nf[2] <= 4 * 4
+
+
+def test_effective_diameter_c4(spark):
+    # nf: 4, 12, 16 -> hop1 = 75% < 90%, hop2 = 100% -> eff diameter 2
+    row = effective_diameter(edges_df(spark, C4), k=32, max_hops=2, q=90).collect()[0]
+    assert row["eff_diameter_hops"] == 2 and row["nf_final"] == 16
+
+
+def test_anf_deterministic_across_partitionings(spark):
+    e = edges_df(spark, BARBELL)
+    a = sorted(map(tuple, neighborhood_function(e, k=4, max_hops=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            neighborhood_function(e.repartition(7), k=4, max_hops=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_anf_empty_graph(spark):
+    only_loops = edges_df(spark, [(1, 1), (2, 2)])
+    assert neighborhood_function(only_loops, k=4, max_hops=2).count() == 0

@@ -2199,3 +2199,55 @@ SELECT r.doc_id, r.text_clean, r.n_lines_kept,
        t.n_total - r.n_lines_kept AS n_lines_removed
 FROM reassembled r JOIN totals t ON r.doc_id = t.doc_id
 """.strip()
+
+
+def anf_sql(raw_sql: str, k: int = 32, max_hops: int = 4) -> str:
+    """Mirrors operators/anf.py: KMV-sketch neighborhood function with
+    max_hops rounds unrolled as MATERIALIZED CTEs. Same 60-bit md5
+    hash, same flatten+distinct+sort+slice merge, same exact-integer
+    estimate ((k-1)*SPACE // kth at HUGEINT width == Spark
+    DECIMAL(38,0) div, clamped to the vertex count)."""
+    space = 16**15
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "e AS (SELECT src, dst FROM clean "
+        "UNION SELECT dst AS src, src AS dst FROM clean)",
+        "verts AS (SELECT DISTINCT dst AS v FROM e)",
+        "nn AS (SELECT count(*)::HUGEINT AS n FROM verts)",
+        "s0 AS (SELECT v, [('0x' || substr(md5('anf:' || CAST(v AS VARCHAR)),"
+        " 1, 15))::BIGINT] AS sk FROM verts)",
+    ]
+    est = (
+        f"SUM(CASE WHEN len(sk) < {k} THEN len(sk)::HUGEINT "
+        f"ELSE LEAST(({k - 1}::HUGEINT * {space}) // GREATEST(sk[{k}], 1), "
+        f"(SELECT n FROM nn)) END)::BIGINT"
+    )
+    sels = [f"SELECT 0 AS hop, {est} AS nf_est FROM s0"]
+    for t in range(1, max_hops + 1):
+        prev = f"s{t - 1}"
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT v, "
+            f"list_sort(list_distinct(flatten(list(sk))))[1:{k}] AS sk "
+            f"FROM (SELECT v, sk FROM {prev} UNION ALL "
+            f"SELECT e.src AS v, s.sk FROM e JOIN {prev} s ON e.dst = s.v) "
+            f"GROUP BY v)"
+        )
+        sels.append(f"SELECT {t} AS hop, {est} AS nf_est FROM s{t}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def effective_diameter_sql(
+    raw_sql: str, k: int = 32, max_hops: int = 4, q: int = 90
+) -> str:
+    """Mirrors operators/anf.py::effective_diameter: smallest hop whose
+    ANF clears q% of the final ANF, decided by the same integer
+    cross-multiplication as the engine."""
+    return f"""
+WITH nf AS ({anf_sql(raw_sql, k, max_hops)}),
+fin AS (SELECT nf_est AS nf_final FROM nf WHERE hop = {max_hops})
+SELECT MIN(nf.hop)::BIGINT AS eff_diameter_hops,
+       MIN(fin.nf_final) AS nf_final
+FROM nf, fin
+WHERE nf.nf_est * 100 >= {q} * fin.nf_final
+""".strip()
