@@ -72,3 +72,36 @@ def test_anf_deterministic_across_partitionings(spark):
 def test_anf_empty_graph(spark):
     only_loops = edges_df(spark, [(1, 1), (2, 2)])
     assert neighborhood_function(only_loops, k=4, max_hops=2).count() == 0
+
+
+def test_closeness_differential(spark):
+    from collections import deque
+
+    from tests.test_truss import _adj, _random_graph, _und
+
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        closeness_centrality,
+    )
+
+    pairs = _random_graph(23, 40, 120)
+    adj = _adj(_und(pairs))
+    rows = closeness_centrality(
+        edges_df(spark, pairs), seed_pct=40, max_hops=5
+    ).collect()
+    got = {r.seed: (r.n_reached, r.closeness_micro) for r in rows}
+    assert len(got) > 0
+    for s in got:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == 5:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        want_n = len(dist) - 1
+        sum_hops = sum(d for d in dist.values() if d > 0)
+        want_c = want_n * 1000000 // sum_hops if sum_hops else 0
+        assert got[s] == (want_n, want_c)

@@ -141,6 +141,36 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    seed_pct: int = 5,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Lin-style closeness for every sampled seed: (seed, n_reached,
+    closeness_micro) where closeness_micro = n_reached * 1e6 DIV
+    Σ d(s,v) — the within-max_hops variant of C(s) = r/Σd, in exact
+    integer micro-units (representation-stable cross-engine, same
+    discipline as harmonic_micro). Zeros for seeds that reach nothing,
+    so the sampled seed set is always fully present."""
+    dist, seeds = _ms_bfs(edges, seed_pct, max_hops)
+    return (
+        dist.filter(F.col("hops") > 0)
+        .groupBy(F.col("s").alias("seed"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("hops").alias("sum_hops"),
+        )
+        .join(seeds.select(F.col("s").alias("seed")), "seed", "right")
+        .select(
+            "seed",
+            F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+            F.coalesce(
+                F.expr("n_reached * 1000000 DIV sum_hops"), F.lit(0)
+            ).alias("closeness_micro"),
+        )
+    )
+
+
 def hop_histogram(
     edges: DataFrame,
     seed_pct: int = 5,

@@ -2251,3 +2251,40 @@ SELECT MIN(nf.hop)::BIGINT AS eff_diameter_hops,
 FROM nf, fin
 WHERE nf.nf_est * 100 >= {q} * fin.nf_final
 """.strip()
+
+
+def closeness_sql(raw_sql: str, seed_pct: int = 5, max_hops: int = 6) -> str:
+    """Mirrors operators/centrality.py::closeness_centrality: the
+    harmonic oracle's reachability with the Lin closeness aggregate
+    (n_reached * 1e6 // sum of hops, exact integers)."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+seeds AS (
+    SELECT DISTINCT src AS s FROM sym
+    WHERE ('0x' || substr(md5('hc:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < {seed_pct}
+),
+reach(s, v, d) AS (
+    SELECT s, s, 0 FROM seeds
+    UNION
+    SELECT reach.s, e.dst, reach.d + 1
+    FROM reach JOIN sym e ON e.src = reach.v
+    WHERE reach.d < {max_hops}
+),
+dist AS (SELECT s, v, MIN(d) AS hops FROM reach GROUP BY s, v),
+agg AS (
+    SELECT s AS seed, count(*) AS n_reached, sum(hops) AS sum_hops
+    FROM dist WHERE hops > 0 GROUP BY s
+)
+SELECT seeds.s AS seed,
+       CAST(coalesce(n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(coalesce(n_reached * 1000000 // sum_hops, 0) AS BIGINT)
+           AS closeness_micro
+FROM seeds LEFT JOIN agg ON seeds.s = agg.seed
+""".strip()
