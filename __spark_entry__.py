@@ -125,6 +125,17 @@ def _q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_text(doc_pages(spark, sf_dir))
 
 
+def _q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_pages_anchored,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        anchor_text_profile,
+    )
+
+    return anchor_text_profile(doc_pages_anchored(spark, sf_dir))
+
+
 def _q_ingest_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages
     from wedge_parallel_triangle_counting_spark.plans.ingest import (
@@ -1031,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_canonical_urls": _q_canonical_urls,
         "text_boilerplate_removal": _q_boilerplate_removal,
         "ingest_extract": _q_ingest_extract,
+        "ingest_anchor_profile": _q_anchor_profile,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
         "ingest_host_graph": _q_host_graph,
@@ -1205,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_canonical_urls": oracles.canonical_urls_sql(),
         "text_boilerplate_removal": oracles.boilerplate_removal_sql(),
         "ingest_extract": oracles.ingest_extract_sql(),
+        "ingest_anchor_profile": oracles.anchor_profile_sql(),
         "ingest_dictionary": oracles.ingest_dictionary_sql(),
         "ingest_edges": oracles.ingest_edges_sql(),
         "ingest_host_graph": oracles.host_graph_sql(),

@@ -118,3 +118,39 @@ def test_canonical_url_rules(spark):
     got = {r.url: r.url_canonical for r in canonicalize_urls(df).collect()}
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_anchor_text_profile_hand_check(spark):
+    # page1 links to T twice ("big site", "big deal"), page2 once
+    # ("small site") -> T's terms: big 2, site 2, deal 1, small 1;
+    # top term tie (big==site @2) breaks alphabetically -> "big"
+    rows = [
+        (
+            "https://x/1",
+            '<a href="https://x/T">big site</a><a href="https://x/T">big deal</a>',
+        ),
+        ("https://x/2", '<a href="https://x/T">small site</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = {r.url: r for r in ingest.anchor_text_profile(pages).collect()}
+    assert set(got) == {"https://x/T"}
+    r = got["https://x/T"]
+    assert (r.n_terms, r.n_unique_terms, r.top_term, r.top_term_count) == (
+        6,
+        4,
+        "big",
+        2,
+    )
+
+
+def test_extract_anchors_pairs(spark):
+    rows = [("https://x/1", '<a href="https://x/2">hello world</a>')]
+    pages = spark.createDataFrame(rows, "url string, h string").select(
+        "url", F.encode("h", "UTF-8").alias("html")
+    )
+    got = ingest.extract_anchors(pages).collect()
+    assert [(r.src_url, r.dst_url, r.anchor) for r in got] == [
+        ("https://x/1", "https://x/2", "hello world")
+    ]

@@ -179,3 +179,59 @@ SELECT doc_id, source,
        'subscribe to the ' || source || ' newsletter' AS text
 FROM documents
 """.strip()
+
+
+# anchor-text vocabulary moduli: anchors pointing at the same target
+# share a small two-token vocabulary, so per-target profiles have a
+# meaningful dominant term (the classic "anchors describe the target"
+# web-corpus signal)
+_ANCHOR_W_MOD = 23
+_ANCHOR_Q_MOD = 7
+
+
+def doc_pages_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_pages variant whose anchors carry target-derived TEXT
+    ("w<t%23> q<t%7>" for target t) instead of the constant "link" —
+    the input for anchor-text aggregation. (url, html)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://doc/"), F.col("doc_id").cast("string"))
+
+    def _anchor(k: int):
+        t = (F.col("doc_id") * k) % DOC_MODULUS
+        return F.concat(
+            F.lit('<a href="https://doc/'),
+            t.cast("string"),
+            F.lit('">w'),
+            (t % _ANCHOR_W_MOD).cast("string"),
+            F.lit(" q"),
+            (t % _ANCHOR_Q_MOD).cast("string"),
+            F.lit("</a>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><body><nav>"),
+        *[_anchor(k) for k in _KS],
+        F.lit("</nav><main>"),
+        F.col("text"),
+        F.lit("</main></body></html>"),
+    )
+    return docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def doc_pages_anchored_sql() -> str:
+    """doc_pages_anchored as a DuckDB CTE body, character-identical."""
+
+    def _anchor(k: int) -> str:
+        t = f"(doc_id * {k}) % {DOC_MODULUS}"
+        return (
+            f"'<a href=\"https://doc/' || CAST({t} AS VARCHAR) || '\">w' || "
+            f"CAST(({t}) % {_ANCHOR_W_MOD} AS VARCHAR) || ' q' || "
+            f"CAST(({t}) % {_ANCHOR_Q_MOD} AS VARCHAR) || '</a>'"
+        )
+
+    anchors = " || ".join(_anchor(k) for k in _KS)
+    return f"""
+SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
+       '<html><body><nav>' || {anchors} || '</nav><main>' || text || '</main></body></html>' AS html
+FROM documents
+""".strip()

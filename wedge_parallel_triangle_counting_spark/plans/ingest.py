@@ -152,3 +152,60 @@ def canonical_url(url_col):
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds `url_canonical` next to the raw url column."""
     return df.withColumn("url_canonical", canonical_url(F.col(url_col)))
+
+
+_ANCHOR_RE = r'<a href="([^"]+)">([^<]+)</a>'
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) — one row per anchor WITH its link
+    text. Two-stage pure-JVM regexp: regexp_extract_all pulls whole
+    anchor elements (stays in whole-stage codegen), then per-row
+    regexp_extract splits href/text — the same formulation the DuckDB
+    oracle uses, so the rows are byte-identical cross-engine."""
+    whole = F.regexp_extract_all(
+        F.decode(F.col("html"), "UTF-8"), F.lit(_ANCHOR_RE), F.lit(0)
+    )
+    return (
+        pages.select(F.col("url").alias("src_url"), F.explode(whole).alias("a"))
+        .select(
+            "src_url",
+            F.regexp_extract(F.col("a"), _ANCHOR_RE, 1).alias("dst_url"),
+            F.regexp_extract(F.col("a"), _ANCHOR_RE, 2).alias("anchor"),
+        )
+    )
+
+
+def anchor_text_profile(pages: DataFrame) -> DataFrame:
+    """Per-TARGET anchor-text rollup — the classic "anchors describe
+    the target" web/search feature (and a training-data label source):
+    for every linked-to url, the incoming-anchor term counts reduced to
+    (url, n_anchors, n_terms, top_term, top_term_count), tie-broken
+    deterministically (count DESC, term ASC).
+
+    Scale shape: anchors explode to (dst_url, term) — edge-sized ×
+    tokens-per-anchor — then ONE hash aggregation on (url, term) with
+    map-side combine absorbing the per-page duplication, a per-url
+    count rollup riding the same clustering, and a row_number window
+    over the url partition. Hub pages (many in-links) are exactly the
+    keys map-side combine compresses best; no driver collect."""
+    terms = extract_anchors(pages).select(
+        F.col("dst_url").alias("url"),
+        F.explode(F.split(F.col("anchor"), " ")).alias("term"),
+    )
+    per_term = terms.groupBy("url", "term").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("c"), F.asc("term"))
+    totals = per_term.groupBy("url").agg(
+        F.sum("c").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_unique_terms"),
+    )
+    top = (
+        per_term.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", F.col("term").alias("top_term"), F.col("c").alias("top_term_count"))
+    )
+    return totals.join(top, "url").select(
+        "url", "n_terms", "n_unique_terms", "top_term", "top_term_count"
+    )

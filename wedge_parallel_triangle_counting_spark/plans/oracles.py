@@ -2288,3 +2288,43 @@ SELECT seeds.s AS seed,
            AS closeness_micro
 FROM seeds LEFT JOIN agg ON seeds.s = agg.seed
 """.strip()
+
+
+def anchor_profile_sql() -> str:
+    """Mirrors plans/ingest.py::anchor_text_profile over the anchored
+    pages derivation: same two-stage regexp (whole anchor elements,
+    then per-row href/text extraction), same space tokenization, same
+    (count DESC, term ASC) deterministic top-term tie-break."""
+    from .docpages import doc_pages_anchored_sql
+
+    pat = '<a href="([^"]+)">([^<]+)</a>'
+    return f"""
+WITH pages AS ({doc_pages_anchored_sql()}),
+whole AS (
+    SELECT url AS src_url,
+           unnest(regexp_extract_all(html, '{pat}', 0)) AS a
+    FROM pages
+),
+pa AS (
+    SELECT regexp_extract(a, '{pat}', 1) AS url,
+           regexp_extract(a, '{pat}', 2) AS anchor
+    FROM whole
+),
+terms AS (SELECT url, unnest(string_split(anchor, ' ')) AS term FROM pa),
+per_term AS (SELECT url, term, count(*) AS c FROM terms GROUP BY url, term),
+totals AS (
+    SELECT url, sum(c) AS n_terms, count(*) AS n_unique_terms
+    FROM per_term GROUP BY url
+),
+top AS (
+    SELECT url, term AS top_term, c AS top_term_count,
+           row_number() OVER (PARTITION BY url ORDER BY c DESC, term ASC) AS rn
+    FROM per_term
+)
+SELECT t.url,
+       CAST(t.n_terms AS BIGINT) AS n_terms,
+       CAST(t.n_unique_terms AS BIGINT) AS n_unique_terms,
+       top.top_term,
+       CAST(top.top_term_count AS BIGINT) AS top_term_count
+FROM totals t JOIN top ON top.url = t.url AND top.rn = 1
+""".strip()
