@@ -229,6 +229,21 @@ def _q_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# measured convergence of the h-index fixpoint at sf0.01: 5 rounds;
+# the engine early-exits, overshoot rounds are no-ops on both sides
+CORENESS_ROUNDS = 12
+
+
+def _q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        core_numbers,
+    )
+
+    return core_numbers(
+        testdata.derived_pagerank_edges(spark, sf_dir), max_rounds=CORENESS_ROUNDS
+    )
+
+
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
 
@@ -1001,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
+        "graph_coreness": _q_coreness,
         "graph_edge_support": _q_edge_support,
         "graph_ktruss": _q_ktruss,
         "graph_triangle_list": _q_triangle_list,
@@ -1103,6 +1119,9 @@ def oracle_sql() -> dict[str, str]:
         "triangles_join": tri,
         "triangles_sampled": oracles.triangles_sampled_sql(),
         "graph_local_clustering": oracles.local_clustering_sql(),
+        "graph_coreness": oracles.coreness_sql(
+            testdata.derived_pagerank_edges_sql(), CORENESS_ROUNDS
+        ),
         "graph_kcore": oracles.kcore_sql(
             k=KCORE_K, raw_sql=testdata.derived_pagerank_edges_sql()
         ),

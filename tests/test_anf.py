@@ -105,3 +105,69 @@ def test_closeness_differential(spark):
         sum_hops = sum(d for d in dist.values() if d > 0)
         want_c = want_n * 1000000 // sum_hops if sum_hops else 0
         assert got[s] == (want_n, want_c)
+
+
+def _bz_core_numbers(adj):
+    """Textbook Batagelj-Zaversnik peel (exact core numbers)."""
+    import collections
+
+    cur = {v: len(ns) for v, ns in adj.items()}
+    buckets = collections.defaultdict(set)
+    for v, d in cur.items():
+        buckets[d].add(v)
+    core, removed, k = {}, set(), 0
+    for _ in range(len(cur)):
+        d = min(dd for dd, s in buckets.items() if s)
+        v = min(buckets[d])
+        buckets[d].discard(v)
+        k = max(k, d)
+        core[v] = k
+        removed.add(v)
+        for u in adj[v]:
+            if u not in removed:
+                buckets[cur[u]].discard(u)
+                cur[u] -= 1
+                buckets[cur[u]].add(u)
+    return core
+
+
+def test_coreness_differential(spark):
+    from tests.test_truss import _adj, _random_graph, _und
+
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        core_numbers,
+    )
+
+    for seed in (3, 11):
+        pairs = _random_graph(seed, 35, 160)
+        adj = _adj(_und(pairs))
+        want = _bz_core_numbers(adj)
+        got = {r.v: r.core for r in core_numbers(edges_df(spark, pairs)).collect()}
+        assert got == want
+
+
+def test_coreness_golden(spark):
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        core_numbers,
+    )
+
+    # K4 with a pendant: K4 members coreness 3, pendant 1
+    k4p = K4 + [(0, 99)]
+    got = {r.v: r.core for r in core_numbers(edges_df(spark, k4p)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 99: 1}
+
+
+def test_coreness_consistent_with_kcore(spark):
+    from tests.test_truss import _random_graph
+
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        core_numbers,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.kcore import k_core
+
+    pairs = _random_graph(29, 40, 200)
+    e = edges_df(spark, pairs)
+    core = {r.v: r.core for r in core_numbers(e).collect()}
+    for k in (2, 3):
+        in_kcore = {r.v for r in k_core(e, k=k).collect()}
+        assert in_kcore == {v for v, c in core.items() if c >= k}

@@ -2328,3 +2328,37 @@ SELECT t.url,
        CAST(top.top_term_count AS BIGINT) AS top_term_count
 FROM totals t JOIN top ON top.url = t.url AND top.rn = 1
 """.strip()
+
+
+def coreness_sql(raw_sql: str, num_rounds: int) -> str:
+    """Mirrors operators/coreness.py: h-index iteration from the
+    degree vector, num_rounds unrolled as MATERIALIZED CTEs. The
+    h-index here is the window formulation (row_number over DESC
+    values; h = max rank with value >= rank) — a different computation
+    of the same integer as the engine's array fold, which makes the
+    parity check a genuine cross-formulation test."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "e AS (SELECT src, dst FROM clean "
+        "UNION SELECT dst AS src, src AS dst FROM clean)",
+        "c0 AS (SELECT dst AS v, CAST(count(*) AS INT) AS c "
+        "FROM e GROUP BY dst)",
+    ]
+    for t in range(1, num_rounds + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"r{t} AS (SELECT e.src AS v, s.c, row_number() OVER "
+            f"(PARTITION BY e.src ORDER BY s.c DESC) AS rn "
+            f"FROM e JOIN {prev} s ON s.v = e.dst)"
+        )
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT v, CAST(coalesce(max(CASE "
+            f"WHEN c >= rn THEN rn END), 0) AS INT) AS c "
+            f"FROM r{t} GROUP BY v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, c AS core FROM c{num_rounds}"
+    )
