@@ -395,6 +395,16 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        stress_centrality,
+    )
+
+    return stress_centrality(
+        testdata.derived_pagerank_edges(spark, sf_dir), seed_pct=5, max_hops=4
+    )
+
+
 def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.walks import random_walks
 
@@ -1030,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_node2vec_walks": _q_node2vec,
         "graph_harmonic": _q_harmonic,
         "graph_closeness": _q_closeness,
+        "graph_stress": _q_stress,
         "graph_hop_histogram": _q_hop_histogram,
         "graph_anf": _q_anf,
         "graph_eff_diameter": _q_eff_diameter,
@@ -1161,6 +1172,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hop_histogram": oracles.hop_histogram_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6
+        ),
+        "graph_stress": oracles.stress_centrality_sql(
+            testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=4
         ),
         "graph_closeness": oracles.closeness_sql(
             testdata.derived_pagerank_edges_sql(), seed_pct=5, max_hops=6

@@ -171,3 +171,56 @@ def test_coreness_consistent_with_kcore(spark):
     for k in (2, 3):
         in_kcore = {r.v for r in k_core(e, k=k).collect()}
         assert in_kcore == {v for v, c in core.items() if c >= k}
+
+
+def test_stress_centrality_differential(spark):
+    from collections import deque
+    from itertools import combinations
+
+    from tests.test_truss import _adj, _random_graph, _und
+
+    from wedge_parallel_triangle_counting_spark.operators.centrality import (
+        stress_centrality,
+    )
+
+    pairs = _random_graph(17, 25, 90)
+    adj = _adj(_und(pairs))
+
+    def bfs_sigma(s, max_h):
+        dist, sigma = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] == max_h:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        return dist, sigma
+
+    max_h = 4
+    tabs = {s: bfs_sigma(s, max_h) for s in adj}
+    want_pairs, want_paths = {}, {}
+    for s, t in combinations(sorted(adj), 2):
+        ds, ss = tabs[s]
+        dt, st_ = tabs[t]
+        if t not in ds:
+            continue
+        for v in adj:
+            if v in (s, t) or v not in ds or v not in dt:
+                continue
+            if ds[v] + dt[v] == ds[t]:
+                want_pairs[v] = want_pairs.get(v, 0) + 1
+                want_paths[v] = want_paths.get(v, 0) + ss[v] * st_[v]
+    got = {
+        r.v: (r.n_pairs, r.through_paths)
+        for r in stress_centrality(
+            edges_df(spark, pairs), seed_pct=100, max_hops=max_h
+        ).collect()
+    }
+    want = {v: (want_pairs[v], want_paths[v]) for v in want_pairs}
+    assert got == want

@@ -141,6 +141,113 @@ def harmonic_centrality(
     )
 
 
+def _ms_bfs_sigma(edges: DataFrame, seed_pct: int, max_hops: int):
+    """Multi-source BFS carrying shortest-path COUNTS: returns the
+    eagerly materialized (s, v, hops, sigma) table where sigma is the
+    number of distinct shortest s->v paths — the level-synchronous
+    recurrence sigma(v @ t+1) = sum of sigma(u @ t) over neighbors u,
+    exact in int64 (path counts on simple graphs at these hop budgets
+    stay far inside the range; the pair-centrality consumer documents
+    the bound). Same composite-frontier layout as _ms_bfs."""
+    spark = edges.sparkSession
+    npart = loop_partitions(spark)
+    sym = build_sym_clustered(edges, npart, key="src").persist()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hc:"), F.col("src").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    seeds = (
+        sym.select("src")
+        .distinct()
+        .filter(h % 100 < seed_pct)
+        .select(F.col("src").alias("s"))
+    )
+    dist = seeds.select(
+        "s",
+        F.col("s").alias("v"),
+        F.lit(0).cast("long").alias("hops"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for it in range(max_hops):
+        cand = (
+            sym.join(frontier.select("s", "v", "sigma"), sym.src == F.col("v"))
+            .groupBy("s", F.col("dst").alias("w"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new_frontier = (
+            cand.join(
+                dist.select("s", F.col("v").alias("w")), ["s", "w"], "left_anti"
+            )
+            .select(
+                "s",
+                F.col("w").alias("v"),
+                F.lit(it + 1).cast("long").alias("hops"),
+                "sigma",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if new_frontier.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(new_frontier).localCheckpoint(eager=True)
+        frontier = new_frontier
+    sym.unpersist()
+    return dist
+
+
+def stress_centrality(
+    edges: DataFrame,
+    seed_pct: int = 5,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Sampled stress centrality (Shimbel 1953), the integer member of
+    the Brandes betweenness family: for every vertex v, the number of
+    shortest s-t paths THROUGH v over sampled seed pairs s < t,
+
+        stress(v) = sum over pairs [d(s,v) + d(v,t) = d(s,t)]
+                    * sigma_s(v) * sigma_t(v),   v not in {s, t},
+
+    using the undirected symmetry sigma_t(v) with t as a seed. All
+    integers — no sigma-ratio floats, so the oracle replays it exactly
+    (float Brandes deltas would not survive cross-engine hash
+    canonicalization). Returns (v, n_pairs, through_paths) for
+    vertices on at least one pair's shortest path.
+
+    Scale shape: the pair sum joins the (s, v, hops, sigma) table with
+    itself ON v (hash-clustered, co-partitioned) and with the
+    seed-to-seed distance rows (|S|^2, broadcast); cost is
+    O(|S| * reach) state and O(|S|^2) per vertex in the worst case —
+    the seed sample rate is the knob, independent of graph size."""
+    dist = _ms_bfs_sigma(edges, seed_pct, max_hops)
+    st = dist.select(
+        F.col("s"),
+        F.col("v").alias("t"),
+        F.col("hops").alias("d_st"),
+    ).filter(F.col("s") < F.col("t"))
+    st = st.join(
+        dist.select(F.col("s").alias("t")).distinct(), "t", "left_semi"
+    )
+    a = dist.select("s", "v", F.col("hops").alias("da"), F.col("sigma").alias("sa"))
+    b = dist.select(
+        F.col("s").alias("t"),
+        "v",
+        F.col("hops").alias("db"),
+        F.col("sigma").alias("sb"),
+    )
+    return (
+        a.join(b, "v")
+        .filter((F.col("s") < F.col("t")) & (F.col("v") != F.col("s")) & (F.col("v") != F.col("t")))
+        .join(F.broadcast(st), ["s", "t"])
+        .filter(F.col("da") + F.col("db") == F.col("d_st"))
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("sa") * F.col("sb")).alias("through_paths"),
+        )
+    )
+
+
 def closeness_centrality(
     edges: DataFrame,
     seed_pct: int = 5,

@@ -2362,3 +2362,56 @@ def coreness_sql(raw_sql: str, num_rounds: int) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT v, c AS core FROM c{num_rounds}"
     )
+
+
+def stress_centrality_sql(
+    raw_sql: str, seed_pct: int = 5, max_hops: int = 4
+) -> str:
+    """Mirrors operators/centrality.py::stress_centrality: unrolled
+    level-synchronous BFS carrying exact shortest-path counts (sigma),
+    then the integer pair sum sigma_s(v)*sigma_t(v) over aligned seed
+    pairs. All arithmetic integral."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "e AS (SELECT src, dst FROM clean "
+        "UNION SELECT dst AS src, src AS dst FROM clean)",
+        "seeds AS (SELECT DISTINCT src AS s FROM e WHERE "
+        "('0x' || substr(md5('hc:' || CAST(src AS VARCHAR)), 1, 8))::BIGINT "
+        f"% 100 < {seed_pct})",
+        "f0 AS (SELECT s, s AS v, 0 AS hops, CAST(1 AS BIGINT) AS sigma "
+        "FROM seeds)",
+        "d0 AS (SELECT * FROM f0)",
+    ]
+    for t in range(1, max_hops + 1):
+        ctes.append(
+            f"c{t} AS (SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma "
+            f"FROM f{t - 1} f JOIN e ON e.src = f.v GROUP BY f.s, e.dst)"
+        )
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT c.s, c.v, {t} AS hops, "
+            f"CAST(c.sigma AS BIGINT) AS sigma FROM c{t} c "
+            f"ANTI JOIN d{t - 1} d ON d.s = c.s AND d.v = c.v)"
+        )
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT * FROM d{t - 1} "
+            f"UNION ALL SELECT * FROM f{t})"
+        )
+    ctes.append(f"dist AS (SELECT * FROM d{max_hops})")
+    ctes.append(
+        "st AS (SELECT s, v AS t, hops AS d_st FROM dist "
+        "WHERE v IN (SELECT s FROM seeds) AND s < v)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT a.v,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a.sigma * b.sigma) AS BIGINT) AS through_paths
+FROM dist a
+JOIN dist b ON a.v = b.v AND a.s < b.s
+JOIN st ON st.s = a.s AND st.t = b.s
+WHERE a.v <> a.s AND a.v <> b.s AND a.hops + b.hops = st.d_st
+GROUP BY a.v"""
+    )
