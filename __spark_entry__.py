@@ -200,6 +200,20 @@ MIS_MAX_ROUNDS = 16  # measured convergence at sf0.01: 6 rounds
 COLORING_MAX_ROUNDS = 128
 
 
+# measured at sf0.01: 7 rounds to maximality; overshoot is a no-op
+MATCHING_ROUNDS = 12
+
+
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    return maximal_matching(
+        testdata.derived_pagerank_edges(spark, sf_dir), max_rounds=MATCHING_ROUNDS
+    )
+
+
 def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.mis import (
         maximal_independent_set,
@@ -1049,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_link_adamic_adar": _q_link_adamic_adar,
         "graph_link_jaccard": _q_link_jaccard,
         "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
         "graph_coloring": _q_coloring,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
@@ -1196,6 +1211,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_link_jaccard": oracles.link_scores_sql(
             method="jaccard", raw_sql=testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_matching": oracles.matching_sql(
+            testdata.derived_pagerank_edges_sql(), MATCHING_ROUNDS
         ),
         "graph_mis": oracles.mis_sql(
             testdata.derived_pagerank_edges_sql(), MIS_MAX_ROUNDS

@@ -224,3 +224,45 @@ def test_stress_centrality_differential(spark):
     }
     want = {v: (want_pairs[v], want_paths[v]) for v in want_pairs}
     assert got == want
+
+
+def test_matching_maximal_and_greedy_equal(spark):
+    import hashlib
+
+    from tests.test_truss import _random_graph
+
+    from wedge_parallel_triangle_counting_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    pairs = _random_graph(5, 30, 140)
+    canon = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    got = [(r.a, r.b) for r in maximal_matching(edges_df(spark, pairs)).collect()]
+    gotset = set(got)
+    # matching: no shared vertices
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))
+    # maximal: every edge touches a matched vertex
+    assert all(a in used or b in used for a, b in canon)
+
+    # equals sequential greedy in priority order
+    def prio(a, b):
+        h = int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+        return f"{h:019d}{a:010d}{b:010d}"
+
+    matched, taken = set(), set()
+    for a, b in sorted(canon, key=lambda e: prio(*e)):
+        if a not in taken and b not in taken:
+            matched.add((a, b))
+            taken.update((a, b))
+    assert gotset == matched
+
+
+def test_matching_empty_and_single_edge(spark):
+    from wedge_parallel_triangle_counting_spark.operators.matching import (
+        maximal_matching,
+    )
+
+    assert maximal_matching(edges_df(spark, [(1, 1)])).count() == 0
+    got = maximal_matching(edges_df(spark, [(2, 1), (1, 2)])).collect()
+    assert [(r.a, r.b, r.round) for r in got] == [(1, 2, 1)]

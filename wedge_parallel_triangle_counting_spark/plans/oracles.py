@@ -2415,3 +2415,43 @@ JOIN st ON st.s = a.s AND st.t = b.s
 WHERE a.v <> a.s AND a.v <> b.s AND a.hops + b.hops = st.d_st
 GROUP BY a.v"""
     )
+
+
+def matching_sql(raw_sql: str, num_rounds: int) -> str:
+    """Mirrors operators/matching.py: locally-minimal-edge rounds with
+    the lpad(h64(a:b))||lpad(a)||lpad(b) total priority, unrolled as
+    MATERIALIZED CTEs. Overshoot rounds are no-ops on an empty active
+    set, so the engine's early exit is safe."""
+    prio = (
+        "lpad(CAST(('0x' || substr(md5(CAST(a AS VARCHAR) || ':' || "
+        "CAST(b AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR), 19, '0') || "
+        "lpad(CAST(a AS VARCHAR), 10, '0') || "
+        "lpad(CAST(b AS VARCHAR), 10, '0')"
+    )
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "canon AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+        f"a0 AS (SELECT a, b, {prio} AS p FROM canon)",
+    ]
+    sels = []
+    for k in range(1, num_rounds + 1):
+        prev = f"a{k - 1}"
+        ctes.append(
+            f"vmin{k} AS (SELECT v, min(p) AS mn FROM "
+            f"(SELECT a AS v, p FROM {prev} "
+            f"UNION ALL SELECT b AS v, p FROM {prev}) GROUP BY v)"
+        )
+        ctes.append(
+            f"s{k} AS MATERIALIZED (SELECT e.a, e.b, {k} AS round "
+            f"FROM {prev} e "
+            f"JOIN vmin{k} x ON x.v = e.a AND e.p = x.mn "
+            f"JOIN vmin{k} y ON y.v = e.b AND e.p = y.mn)"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT e.a, e.b, e.p FROM {prev} e "
+            f"WHERE e.a NOT IN (SELECT a FROM s{k} UNION SELECT b FROM s{k}) "
+            f"AND e.b NOT IN (SELECT a FROM s{k} UNION SELECT b FROM s{k}))"
+        )
+        sels.append(f"SELECT a, b, round FROM s{k}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
