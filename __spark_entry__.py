@@ -690,6 +690,14 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def _q_substring_dups(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    return substring_dup_pairs(_docs(spark, sf_dir))
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -1091,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_host_pagerank": _q_host_pagerank,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "dedup_substring": _q_substring_dups,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
@@ -1277,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": oracles.prefix_dedup_sql(prefix_tokens=3),
         "streaming_user_stats": oracles.user_stats_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
+        "dedup_substring": oracles.substring_dup_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_simhash_near_pairs": oracles.simhash_near_pairs_sql(),

@@ -1,0 +1,37 @@
+
+
+def test_substring_dup_pairs_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (1, base + " tail one"),
+        (2, base + " other ending"),   # shares the 20-token prefix with 1
+        (3, "completely different words " * 6),
+        (4, base + " tail one"),       # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_windows
+        for r in substring_dup_pairs(docs, window=16).collect()
+    }
+    # windows of 16 tokens: doc1 has 22 tokens -> 7 windows; docs 1&4
+    # share all 7; docs 1&2 and 2&4 share the 5 windows fully inside
+    # the common 20-token prefix
+    assert got == {(1, 2): 5, (1, 4): 7, (2, 4): 5}
+
+
+def test_substring_dup_freq_cap_drops_boilerplate(spark):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 6)], "doc_id long, text string"
+    )
+    # the one shared window appears in 5 docs: cap 4 drops everything
+    assert substring_dup_pairs(docs, window=16, max_window_freq=4).count() == 0
+    assert substring_dup_pairs(docs, window=16, max_window_freq=5).count() == 10

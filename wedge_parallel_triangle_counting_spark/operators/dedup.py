@@ -299,3 +299,41 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    window: int = 16,
+    max_window_freq: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-window duplicate pairs (the Lee et al. 2022
+    "Deduplicating Training Data" exact-substring family, windowed):
+    (doc_a, doc_b, n_shared_windows) for doc_a < doc_b sharing at least
+    one exact `window`-token span. A span this long shared verbatim is
+    copied text, not coincidence — the signal n-gram Jaccard dilutes.
+
+    Windows are DISTINCT per doc (shingles reuse), hashed to 60-bit
+    ints so the inverted-index self-join shuffles fixed-width keys, and
+    capped by document frequency (`max_window_freq`): a window in more
+    docs than the cap is boilerplate, and dropping it both denoises the
+    signal and bounds the join fan-out at freq^2 — the same skew guard
+    ngram_jaccard_pairs uses, mandatory at 10^12 documents."""
+    win = shingles(docs, n=window, id_col=id_col, text_col=text_col).select(
+        "doc_id", _hash64(F.concat(F.lit("sw:"), F.col("shingle"))).alias("h")
+    )
+    keep = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_window_freq))
+    )
+    w = win.join(keep.select("h"), "h", "left_semi")
+    a = w.select(F.col("doc_id").alias("doc_a"), "h")
+    b = w.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

@@ -2455,3 +2455,30 @@ def matching_sql(raw_sql: str, num_rounds: int) -> str:
         )
         sels.append(f"SELECT a, b, round FROM s{k}")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def substring_dup_sql(window: int = 16, max_window_freq: int = 20) -> str:
+    """Mirrors operators/dedup.py::substring_dup_pairs: distinct
+    window-token spans per doc, 60-bit md5 window hashes, document-
+    frequency cap, inverted-index pair count."""
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+win AS (
+    SELECT DISTINCT doc_id,
+           {_h64(f"'sw:' || array_to_string(list_slice(t, i, i + {window - 1}), ' ')")} AS h
+    FROM toks, unnest(generate_series(1, greatest(len(t) - {window - 1}, 0))) AS u(i)
+    WHERE len(t) >= {window}
+),
+keep AS (
+    SELECT h FROM win GROUP BY h
+    HAVING count(*) >= 2 AND count(*) <= {max_window_freq}
+),
+w AS (SELECT doc_id, h FROM win SEMI JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_windows
+FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+""".strip()
