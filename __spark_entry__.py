@@ -878,6 +878,14 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir))
 
 
+def _q_kmeans(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8, num_iters=3)
+
+
 def _q_lsh_bucket_pairs(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.similarity import (
         lsh_bucket_pairs,
@@ -1122,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
+        "embedding_kmeans": _q_kmeans,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
         "media_stats": _q_media_stats,
@@ -1315,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
+        "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
         "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),
         "ann_random_plane_lsh": oracles.random_plane_lsh_sql(),
         "media_stats": oracles.media_stats_sql(),

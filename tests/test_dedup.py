@@ -35,3 +35,46 @@ def test_substring_dup_freq_cap_drops_boilerplate(spark):
     # the one shared window appears in 5 docs: cap 4 drops everything
     assert substring_dup_pairs(docs, window=16, max_window_freq=4).count() == 0
     assert substring_dup_pairs(docs, window=16, max_window_freq=5).count() == 10
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    import numpy as np
+
+    import hashlib
+
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import (
+        OFFSET,
+        SCALE,
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, k, iters = 60, 8, 4, 3
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=k, num_iters=iters).collect()}
+
+    # reference: same quantization, same init, same integer Lloyd
+    q = np.floor(vecs.astype(np.float64) * SCALE).astype(np.int64) + OFFSET
+    h = {
+        i: int(hashlib.md5(f"km:{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    }
+    seeds = sorted(range(n), key=lambda i: (h[i], i))[:k]
+    cents = {c: q[i].copy() for c, i in enumerate(seeds)}
+    asg = {}
+    for it in range(iters):
+        for i in range(n):
+            best = min(
+                (int(((q[i] - cents[c]) ** 2).sum()), c) for c in range(k)
+            )
+            asg[i] = best[1]
+        if it == iters - 1:
+            break
+        for c in range(k):
+            members = [q[i] for i in range(n) if asg[i] == c]
+            if members:
+                s = np.sum(members, axis=0)
+                cents[c] = s // len(members)
+    assert got == asg

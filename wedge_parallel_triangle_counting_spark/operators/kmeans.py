@@ -1,0 +1,111 @@
+"""Deterministic k-means over embedding vectors (Lloyd iterations in
+quantized integer space).
+
+Embedding clustering is the curation workhorse of a training-data
+pipeline (SemDeDup-style semantic dedup, cluster-balanced sampling,
+topic bucketing). Float Lloyd is cross-engine UNSTABLE — centroid
+means depend on float summation order — so the engine quantizes once
+and runs EXACT integer arithmetic end to end:
+
+    q[d] = floor(x[d] * 1e6) + OFFSET        (OFFSET = 2^24)
+
+The offset keeps every value nonnegative, making Spark's truncating
+integer division equal to DuckDB's floor division in the centroid
+update (mean = sum DIV count) — the one operator where the two
+engines' negative-division conventions would otherwise diverge.
+Distances are offset-invariant. Magnitudes: |q| < 2^25, squared-diff
+sums over 64 dims < 2^57 — exact in int64; centroid sums < n * 2^25.
+
+Initialization: the k vectors with the smallest md5-derived hash of
+their id (total order, both engines identical). Assignment tie-break:
+(distance, centroid id) ascending. Every step is a pure function of
+the input — the unrolled oracle (plans/oracles.py::kmeans_sql) replays
+all iterations bit-for-bit.
+
+Scale shape: centroids are a k-row broadcast; assignment is one
+embedding-sized map (zip_with + aggregate in codegen, no UDF);
+the update is one (cid, dim) aggregation with map-side combine —
+k*dim output rows. Per iteration: ONE shuffle of k*dim partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OFFSET = 1 << 24
+SCALE = 1_000_000
+
+
+def _quantize(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * SCALE).cast("long") + OFFSET
+    )
+
+
+def _h64(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id: long, cluster: int] — the Lloyd assignment after
+    num_iters exact integer iterations from the deterministic
+    smallest-hash initialization. A cluster that loses all members is
+    dropped (not re-seeded) — identical convention in the oracle."""
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("q")
+    ).localCheckpoint(eager=True)
+
+    seed_h = _h64(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+    from pyspark.sql.window import Window
+
+    init = (
+        vecs.select("vec_id", "q", seed_h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    cents = init.select(
+        (
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        ).alias("cid"),
+        F.col("q").alias("cq"),
+    ).localCheckpoint(eager=True)
+
+    dist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    assign = None
+    for it in range(num_iters):
+        assign = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "q", "cid", dist.alias("d"))
+            .groupBy("vec_id", "q")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "q", F.col("m.cid").alias("cluster"))
+        )
+        if it == num_iters - 1:
+            break
+        cents = (
+            assign.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr("sum(val) div count(*)").alias("cv"))
+            .groupBy(F.col("cluster").alias("cid"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "cv"))
+                ).alias("pv")
+            )
+            .select("cid", F.col("pv.cv").alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    return assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))

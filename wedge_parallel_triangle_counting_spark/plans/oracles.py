@@ -2482,3 +2482,48 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """.strip()
+
+
+def kmeans_sql(k: int = 8, num_iters: int = 3) -> str:
+    """Mirrors operators/kmeans.py::kmeans_assign: quantize to offset
+    integers, smallest-md5 init, num_iters Lloyd assignments with
+    num_iters-1 integer-mean centroid updates between them. The
+    nonnegative offset makes DuckDB's // equal Spark's div in the
+    update; everything else is sums of int64."""
+    offset = 1 << 24
+    ctes = [
+        "dims AS (SELECT vec_id, i, "
+        f"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
+        f"+ {offset} AS val "
+        "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i))",
+        "seedh AS (SELECT vec_id, "
+        "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        "FROM embeddings)",
+        "init AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 "
+        f"AS cid FROM seedh ORDER BY h, vec_id LIMIT {k})",
+        "c0 AS (SELECT init.cid, d.i, d.val FROM init "
+        "JOIN dims d USING (vec_id))",
+    ]
+    for t in range(1, num_iters + 1):
+        ctes.append(
+            f"dist{t} AS (SELECT v.vec_id, c.cid, "
+            f"sum((v.val - c.val) * (v.val - c.val)) AS d "
+            f"FROM dims v JOIN c{t - 1} c ON c.i = v.i "
+            f"GROUP BY v.vec_id, c.cid)"
+        )
+        ctes.append(
+            f"asg{t} AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM "
+            f"(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY d, cid) AS rn FROM dist{t}) WHERE rn = 1)"
+        )
+        if t < num_iters:
+            ctes.append(
+                f"c{t} AS MATERIALIZED (SELECT a.cluster AS cid, v.i, "
+                f"sum(v.val) // count(*) AS val FROM asg{t} a "
+                f"JOIN dims v USING (vec_id) GROUP BY a.cluster, v.i)"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(cluster AS INT) AS cluster FROM asg{num_iters}"
+    )
