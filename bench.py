@@ -188,6 +188,25 @@ def main() -> None:
     extra["scc_sec"] = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
+    # round-5 operators, same out-of-headline convention
+    from wedge_parallel_triangle_counting_spark.operators.anf import (
+        neighborhood_function,
+    )
+
+    t0 = time.perf_counter()
+    neighborhood_function(pe, k=32, max_hops=4).count()
+    extra["anf_4hop_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        core_numbers,
+    )
+
+    t0 = time.perf_counter()
+    core_numbers(pe).count()
+    extra["coreness_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(
