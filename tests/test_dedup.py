@@ -78,3 +78,60 @@ def test_kmeans_matches_numpy_reference(spark):
                 s = np.sum(members, axis=0)
                 cents[c] = s // len(members)
     assert got == asg
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 120, 16
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(df, k=5, query_limit=8).collect()
+    }
+    approx_rows = ivf_topk(
+        df, k=5, query_limit=8, n_clusters=4, nprobe=2
+    ).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    # contract checks: k results per query, ranks 1..5, candidates only
+    # from probed lists; recall vs exact must be substantial (nprobe=2
+    # of 4 lists on random gaussians)
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_ivf_probe_all_lists_equals_exact(spark):
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 80, 12
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = sorted(
+        map(tuple, cosine_topk(df, k=5, query_limit=6).collect())
+    )
+    full_probe = sorted(
+        map(
+            tuple,
+            ivf_topk(df, k=5, query_limit=6, n_clusters=4, nprobe=4).collect(),
+        )
+    )
+    assert full_probe == exact

@@ -47,17 +47,17 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def kmeans_assign(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = 8,
     num_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """[vec_id: long, cluster: int] — the Lloyd assignment after
-    num_iters exact integer iterations from the deterministic
-    smallest-hash initialization. A cluster that loses all members is
-    dropped (not re-seeded) — identical convention in the oracle."""
+) -> tuple[DataFrame, DataFrame]:
+    """(assign, centroids): assign = [vec_id, q, cluster] (q the
+    quantized offset-integer vector), centroids = [cid, cq] — the
+    integer means recomputed from the FINAL assignment (the state an
+    IVF index stores). Same deterministic recursion as kmeans_assign."""
     spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), _quantize(F.col(vec_col)).alias("q")
@@ -84,19 +84,9 @@ def kmeans_assign(
         lambda acc, x: acc + x,
     )
 
-    assign = None
-    for it in range(num_iters):
-        assign = (
-            vecs.crossJoin(F.broadcast(cents))
-            .select("vec_id", "q", "cid", dist.alias("d"))
-            .groupBy("vec_id", "q")
-            .agg(F.min(F.struct("d", "cid")).alias("m"))
-            .select("vec_id", "q", F.col("m.cid").alias("cluster"))
-        )
-        if it == num_iters - 1:
-            break
-        cents = (
-            assign.select("cluster", F.posexplode("q").alias("pos", "val"))
+    def _update(asg):
+        return (
+            asg.select("cluster", F.posexplode("q").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.expr("sum(val) div count(*)").alias("cv"))
             .groupBy(F.col("cluster").alias("cid"))
@@ -108,4 +98,33 @@ def kmeans_assign(
             .select("cid", F.col("pv.cv").alias("cq"))
             .localCheckpoint(eager=True)
         )
+
+    assign = None
+    for it in range(num_iters):
+        assign = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "q", "cid", dist.alias("d"))
+            .groupBy("vec_id", "q")
+            .agg(F.min(F.struct("d", "cid")).alias("m"))
+            .select("vec_id", "q", F.col("m.cid").alias("cluster"))
+        )
+        if it == num_iters - 1:
+            assign = assign.localCheckpoint(eager=True)
+            break
+        cents = _update(assign)
+    return assign, _update(assign)
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[vec_id: long, cluster: int] — the Lloyd assignment after
+    num_iters exact integer iterations from the deterministic
+    smallest-hash initialization. A cluster that loses all members is
+    dropped (not re-seeded) — identical convention in the oracle."""
+    assign, _ = kmeans_fit(embeddings, k, num_iters, id_col, vec_col)
     return assign.select("vec_id", F.col("cluster").cast("int").alias("cluster"))

@@ -245,3 +245,84 @@ def random_plane_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_limit: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    num_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors — the
+    classic ANN scale path: a deterministic integer k-means coarse
+    quantizer (operators/kmeans.py) partitions the corpus into
+    n_clusters lists; each query probes only its `nprobe` nearest
+    centroids (exact integer distances, (d, cid) tie-break) and
+    brute-forces cosine inside those lists. Same output contract as
+    cosine_topk (query_id, vec_id, cos, rank); recall < exact by
+    construction — the oracle replays the IVF plan itself, and
+    tests measure recall against the exact baseline.
+
+    Scale shape: centroids are a k-row broadcast; the probe is a
+    per-query k-row ranking; the candidate join is an equi-join on
+    cluster id — the corpus is scanned once and only matching lists
+    shuffle. Lists ≈ N/n_clusters vectors; n_clusters scales with N
+    (sqrt(N) is the textbook choice), nprobe trades recall for cost."""
+    from pyspark.sql import Window
+
+    from .kmeans import kmeans_fit
+
+    assign, cents = kmeans_fit(
+        emb, k=n_clusters, num_iters=num_iters, id_col=id_col, vec_col=vec_col
+    )
+
+    qdist = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("pd", "cid")
+    probe = (
+        assign.filter(F.col("vec_id") < query_limit)
+        .select(F.col("vec_id").alias("query_id"), "q")
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "cid", qdist.alias("pd"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    base = base.join(
+        assign.select("vec_id", "cluster"), "vec_id"
+    )
+    qs = base.filter(F.col("vec_id") < query_limit).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cands = (
+        base.join(probe, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qs), "query_id")
+    )
+    cos = (_dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))).alias("cos")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.select("query_id", "vec_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

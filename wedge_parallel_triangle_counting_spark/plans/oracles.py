@@ -2484,12 +2484,11 @@ GROUP BY a.doc_id, b.doc_id
 """.strip()
 
 
-def kmeans_sql(k: int = 8, num_iters: int = 3) -> str:
-    """Mirrors operators/kmeans.py::kmeans_assign: quantize to offset
-    integers, smallest-md5 init, num_iters Lloyd assignments with
-    num_iters-1 integer-mean centroid updates between them. The
-    nonnegative offset makes DuckDB's // equal Spark's div in the
-    update; everything else is sums of int64."""
+def _kmeans_ctes(k: int, num_iters: int) -> list[str]:
+    """Shared CTE chain for kmeans_sql / ivf_topk_sql: quantize to
+    offset integers, smallest-md5 init, Lloyd assignments with
+    integer-mean centroid updates. Final assignment CTE is
+    asg{num_iters}."""
     offset = 1 << 24
     ctes = [
         "dims AS (SELECT vec_id, i, "
@@ -2522,8 +2521,66 @@ def kmeans_sql(k: int = 8, num_iters: int = 3) -> str:
                 f"sum(v.val) // count(*) AS val FROM asg{t} a "
                 f"JOIN dims v USING (vec_id) GROUP BY a.cluster, v.i)"
             )
+    return ctes
+
+
+def kmeans_sql(k: int = 8, num_iters: int = 3) -> str:
+    """Mirrors operators/kmeans.py::kmeans_assign: quantize to offset
+    integers, smallest-md5 init, num_iters Lloyd assignments with
+    num_iters-1 integer-mean centroid updates between them. The
+    nonnegative offset makes DuckDB's // equal Spark's div in the
+    update; everything else is sums of int64."""
+    ctes = _kmeans_ctes(k, num_iters)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(cluster AS INT) AS cluster FROM asg{num_iters}"
+    )
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    query_limit: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    num_iters: int = 3,
+) -> str:
+    """Mirrors operators/similarity.py::ivf_topk: the kmeans chain,
+    centroids recomputed from the final assignment, integer-distance
+    probe of nprobe lists per query, exact cosine inside the probed
+    lists, round-6 doubles with (cos DESC, vec_id ASC) ranking."""
+    T = num_iters
+    ctes = _kmeans_ctes(n_clusters, num_iters)
+    ctes += [
+        f"cfin AS MATERIALIZED (SELECT a.cluster AS cid, v.i, "
+        f"sum(v.val) // count(*) AS val FROM asg{T} a "
+        f"JOIN dims v USING (vec_id) GROUP BY a.cluster, v.i)",
+        f"qdist AS (SELECT d.vec_id AS query_id, c.cid, "
+        f"sum((d.val - c.val) * (d.val - c.val)) AS pd "
+        f"FROM dims d JOIN cfin c ON c.i = d.i "
+        f"WHERE d.vec_id < {query_limit} GROUP BY d.vec_id, c.cid)",
+        f"probe AS (SELECT query_id, cid AS cluster FROM "
+        f"(SELECT query_id, cid, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY pd, cid) AS rn FROM qdist) WHERE rn <= {nprobe})",
+        "base AS (SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"a.cluster FROM embeddings e JOIN asg{T} a ON a.vec_id = e.vec_id)",
+        "nrmb AS (SELECT vec_id, v, cluster, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM base)",
+        f"qsb AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn "
+        f"FROM nrmb WHERE vec_id < {query_limit})",
+        "scored AS (SELECT p.query_id, n.vec_id, "
+        "list_dot_product(n.v, q.qv) / (n.nrm * q.qn) AS cos "
+        "FROM probe p JOIN nrmb n ON n.cluster = p.cluster "
+        "JOIN qsb q ON q.query_id = p.query_id "
+        "WHERE n.vec_id <> p.query_id)",
+        "ranked AS (SELECT query_id, vec_id, cos, "
+        "CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank FROM scored)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, round(cos, 6) AS cos, rank "
+        f"FROM ranked WHERE rank <= {k}"
     )
