@@ -308,8 +308,10 @@ def ivf_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    # probe is (queries × nprobe) rows — broadcast it so the corpus is
+    # scanned in place instead of shuffling every list by cluster id
     cands = (
-        base.join(probe, "cluster")
+        base.join(F.broadcast(probe), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(qs), "query_id")
     )
