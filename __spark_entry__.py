@@ -1046,6 +1046,27 @@ def _q_streaming_user_stats(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_attribution(spark, sf_dir):
+    # stream-stream inner join (view->click attribution) on a real
+    # availableNow replay; oracle = the batch join over the same file
+    import os
+    import shutil
+    import tempfile
+
+    from wedge_parallel_triangle_counting_spark.streaming.joins import (
+        run_streaming_attribution,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_attr_")
+    src_dir = f"{tmp}/events"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    try:
+        return run_streaming_attribution(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
@@ -1149,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_triangles": _q_streaming_triangles,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_user_stats": _q_streaming_user_stats,
+        "streaming_attribution": _q_streaming_attribution,
     }
 
 
@@ -1301,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact_sql(),
         "streaming_dedup": oracles.prefix_dedup_sql(prefix_tokens=3),
         "streaming_user_stats": oracles.user_stats_sql(),
+        "streaming_attribution": oracles.attribution_sql(),
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_substring": oracles.substring_dup_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),

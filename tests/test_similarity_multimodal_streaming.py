@@ -543,3 +543,73 @@ def test_streaming_user_stats_refuses_stale_checkpoint(spark, tmp_path):
     (ckpt / "offsets").mkdir()
     with _pytest.raises(ValueError, match="non-empty"):
         run_streaming_user_stats(spark, str(tmp_path), str(ckpt))
+
+
+def test_streaming_attribution_join_matches_batch(spark, tmp_path):
+    import shutil
+
+    from wedge_parallel_triangle_counting_spark.streaming.joins import (
+        attribution_batch,
+        run_streaming_attribution,
+    )
+
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "part-000.parquet")
+    batch = sorted(
+        map(
+            tuple,
+            attribution_batch(spark.read.parquet(str(events_dir))).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            run_streaming_attribution(
+                spark, str(events_dir), str(tmp_path / "ckpt")
+            ).collect(),
+        )
+    )
+    assert got == batch and len(batch) > 0
+    # every match respects the window and user equality by construction;
+    # spot-check lag bounds (0 <= lag <= 30 min in microseconds)
+    assert all(0 <= r[3] <= 30 * 60 * 1_000_000 for r in batch)
+
+
+def test_streaming_attribution_split_files_same_answer(spark, tmp_path):
+    # the join must not depend on micro-batch boundaries: replay the
+    # same events as TWO files (two availableNow micro-batches for the
+    # file source) and compare against the single-file run
+    import shutil
+
+    from wedge_parallel_triangle_counting_spark.streaming.joins import (
+        run_streaming_attribution,
+    )
+
+    one = tmp_path / "one"
+    one.mkdir()
+    shutil.copy(f"{SF}/events.parquet", one / "part-000.parquet")
+    single = sorted(
+        map(
+            tuple,
+            run_streaming_attribution(spark, str(one), str(tmp_path / "c1")).collect(),
+        )
+    )
+
+    two = tmp_path / "two"
+    two.mkdir()
+    ev = spark.read.parquet(str(one))
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(str(two / "a"))
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(str(two / "b"))
+    import glob as _g
+    import os as _o
+
+    for i, f in enumerate(sorted(_g.glob(str(two / "*" / "*.parquet")))):
+        _o.rename(f, str(two / f"part-{i:03d}.parquet"))
+    split = sorted(
+        map(
+            tuple,
+            run_streaming_attribution(spark, str(two), str(tmp_path / "c2")).collect(),
+        )
+    )
+    assert split == single

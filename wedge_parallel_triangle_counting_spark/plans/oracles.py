@@ -2584,3 +2584,24 @@ def ivf_topk_sql(
         + f"\nSELECT query_id, vec_id, round(cos, 6) AS cos, rank "
         f"FROM ranked WHERE rank <= {k}"
     )
+
+
+def attribution_sql(window_minutes: int = 30) -> str:
+    """Mirrors streaming/joins.py::attribution_batch — the batch twin
+    of the stream-stream attribution join; exact integer microsecond
+    lag on both engines."""
+    return f"""
+WITH v AS (
+    SELECT event_id AS view_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+)
+SELECT v.view_id, c.click_id, v.user_id,
+       date_diff('microsecond', v.view_ts, c.click_ts) AS lag_us
+FROM v JOIN c ON c.user_id = v.user_id
+  AND c.click_ts >= v.view_ts
+  AND c.click_ts <= v.view_ts + INTERVAL {window_minutes} MINUTE
+""".strip()
