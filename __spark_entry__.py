@@ -672,6 +672,16 @@ def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.bfs import (
+        double_sweep_diameter,
+    )
+
+    return double_sweep_diameter(
+        testdata.derived_pagerank_edges(spark, sf_dir), max_hops=BFS_MAX_HOPS
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1123,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_modularity,
         "graph_transitivity": _q_transitivity,
         "graph_bfs_hops": _q_bfs_hops,
+        "graph_double_sweep": _q_double_sweep,
         "graph_sssp": _q_sssp,
         "ingest_canonical_urls": _q_canonical_urls,
         "text_boilerplate_removal": _q_boilerplate_removal,
@@ -1301,6 +1312,9 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_weighted_edges_sql(), max_rounds=SSSP_ROUNDS
         ),
         "graph_bfs_hops": oracles.bfs_hops_sql(
+            testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS
+        ),
+        "graph_double_sweep": oracles.double_sweep_sql(
             testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS
         ),
         "graph_scc": oracles.scc_sql(testdata.derived_directed_sparse_edges_sql()),

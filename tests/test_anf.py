@@ -266,3 +266,24 @@ def test_matching_empty_and_single_edge(spark):
     assert maximal_matching(edges_df(spark, [(1, 1)])).count() == 0
     got = maximal_matching(edges_df(spark, [(2, 1), (1, 2)])).collect()
     assert [(r.a, r.b, r.round) for r in got] == [(1, 2, 1)]
+
+
+def test_double_sweep_path_and_star(spark):
+    from wedge_parallel_triangle_counting_spark.operators.bfs import (
+        double_sweep_diameter,
+    )
+
+    # path 0-1-2-3-4: sweep1 from 0 finds 4 (ecc 4); sweep2 from 4
+    # finds 0 -> diameter_lb 4 (exact on trees)
+    path = [(i, i + 1) for i in range(4)]
+    r = double_sweep_diameter(edges_df(spark, path)).collect()[0]
+    assert (r.sweep1_ecc, r.far_vertex, r.diameter_lb) == (4, 4, 4)
+
+    # star: every eccentricity from a leaf is 2
+    from .conftest import STAR10
+
+    r = double_sweep_diameter(edges_df(spark, STAR10)).collect()[0]
+    assert (r.sweep1_ecc, r.diameter_lb) == (1, 2)
+    # sweep1 starts at vertex 0 = the center (min id), ecc 1; the far
+    # vertex is the smallest leaf, and its eccentricity is 2
+    assert r.far_vertex == 1

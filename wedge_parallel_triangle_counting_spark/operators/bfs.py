@@ -80,3 +80,33 @@ def shortest_hops(
     dist.count()
     sym.unpersist()
     return dist
+
+
+def double_sweep_diameter(edges: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib
+    2009 — the standard cheap diameter estimator, exact on trees):
+    BFS from the smallest vertex id, take the farthest vertex found
+    (hops DESC, id ASC tie-break), BFS again from there; the second
+    eccentricity is a lower bound on the graph diameter that is tight
+    or near-tight on real web graphs. One row
+    [sweep1_ecc, far_vertex, diameter_lb], all within max_hops.
+
+    Two BFS runs = two frontier loops; the only driver-side value is
+    the single pivot vertex (same footprint as shortest_hops' default
+    source lookup)."""
+    spark = edges.sparkSession
+    d1 = shortest_hops(edges, max_hops=max_hops)
+    pivot = (
+        d1.orderBy(F.desc("hops"), F.asc("v")).limit(1).collect()
+    )
+    if not pivot:
+        return spark.createDataFrame(
+            [], "sweep1_ecc long, far_vertex long, diameter_lb long"
+        )
+    far_v, ecc1 = int(pivot[0]["v"]), int(pivot[0]["hops"])
+    d2 = shortest_hops(edges, source=far_v, max_hops=max_hops)
+    return d2.agg(
+        F.lit(ecc1).cast("long").alias("sweep1_ecc"),
+        F.lit(far_v).cast("long").alias("far_vertex"),
+        F.max("hops").alias("diameter_lb"),
+    )

@@ -2605,3 +2605,41 @@ FROM v JOIN c ON c.user_id = v.user_id
   AND c.click_ts >= v.view_ts
   AND c.click_ts <= v.view_ts + INTERVAL {window_minutes} MINUTE
 """.strip()
+
+
+def double_sweep_sql(raw_sql: str, max_hops: int = 16) -> str:
+    """Mirrors operators/bfs.py::double_sweep_diameter: two chained
+    depth-capped recursive reachabilities with the identical
+    (hops DESC, v ASC) pivot selection."""
+    return f"""
+WITH RECURSIVE raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+sym AS (
+    SELECT src, dst FROM clean
+    UNION
+    SELECT dst AS src, src AS dst FROM clean
+),
+s AS (SELECT MIN(src) AS sv FROM sym),
+reach1(v, d) AS (
+    SELECT sv, 0 FROM s WHERE sv IS NOT NULL
+    UNION
+    SELECT e.dst AS v, reach1.d + 1
+    FROM reach1 JOIN sym e ON e.src = reach1.v
+    WHERE reach1.d < {max_hops}
+),
+d1 AS (SELECT v, MIN(d) AS hops FROM reach1 GROUP BY v),
+u AS (SELECT v AS far_v, hops AS ecc1 FROM d1
+      ORDER BY hops DESC, v ASC LIMIT 1),
+reach2(v, d) AS (
+    SELECT far_v, 0 FROM u
+    UNION
+    SELECT e.dst AS v, reach2.d + 1
+    FROM reach2 JOIN sym e ON e.src = reach2.v
+    WHERE reach2.d < {max_hops}
+),
+d2 AS (SELECT v, MIN(d) AS hops FROM reach2 GROUP BY v)
+SELECT CAST(u.ecc1 AS BIGINT) AS sweep1_ecc,
+       CAST(u.far_v AS BIGINT) AS far_vertex,
+       CAST((SELECT MAX(hops) FROM d2) AS BIGINT) AS diameter_lb
+FROM u
+""".strip()
