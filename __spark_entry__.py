@@ -48,6 +48,16 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(symmetrize(normalize_edges(testdata.derived_edges(spark, sf_dir))))
 
 
+RMAT_SCALE = 8  # 256 vertices, 4096 edge samples for the parity check
+
+
+def _q_rmat_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf_dir unused: the generator IS the source; the oracle replays it
+    from wedge_parallel_triangle_counting_spark.sources.rmat import synth_rmat
+
+    return degrees(symmetrize(normalize_edges(synth_rmat(spark, scale=RMAT_SCALE))))
+
+
 def _q_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented, _, _ = prepare_oriented(testdata.derived_edges(spark, sf_dir))
     return oriented
@@ -1081,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degrees": _q_degrees,
         "graph_degrees_bucketed": _q_degrees_bucketed,
+        "graph_rmat_degrees": _q_rmat_degrees,
         "graph_orient": _q_orient,
         "graph_wedge_stats": _q_wedge_stats,
         "graph_hub_topk": _q_hub_topk,
@@ -1190,6 +1201,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_degrees": oracles.degrees_sql(),
         "graph_degrees_bucketed": oracles.degrees_sql(),
+        "graph_rmat_degrees": oracles.degrees_sql(
+            raw_sql=oracles.rmat_sql(RMAT_SCALE)
+        ),
         "graph_orient": oracles.orient_sql(),
         "graph_wedge_stats": oracles.wedge_stats_sql(),
         "graph_hub_topk": oracles.hub_topk_sql(),

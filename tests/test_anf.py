@@ -287,3 +287,33 @@ def test_double_sweep_path_and_star(spark):
     # sweep1 starts at vertex 0 = the center (min id), ecc 1; the far
     # vertex is the smallest leaf, and its eccentricity is 2
     assert r.far_vertex == 1
+
+
+def test_rmat_deterministic_and_skewed(spark):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.sources.rmat import synth_rmat
+
+    a = sorted(map(tuple, synth_rmat(spark, scale=7, edge_factor=8).collect()))
+    b = sorted(
+        map(
+            tuple,
+            synth_rmat(spark, scale=7, edge_factor=8)
+            .repartition(13)
+            .collect(),
+        )
+    )
+    assert a == b and len(a) == 8 * 128
+    assert all(0 <= s < 128 and 0 <= d < 128 for s, d in a)
+    # power-law-ish head: the hottest vertex sees far more than the
+    # mean degree (Graph500 parameters concentrate mass at low ids)
+    df = synth_rmat(spark, scale=7, edge_factor=8)
+    deg = (
+        df.select(F.col("src").alias("v"))
+        .unionAll(df.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .count()
+    )
+    mx = deg.agg(F.max("count")).collect()[0][0]
+    mean = 2 * len(a) / 128
+    assert mx > 4 * mean

@@ -2643,3 +2643,27 @@ SELECT CAST(u.ecc1 AS BIGINT) AS sweep1_ecc,
        CAST((SELECT MAX(hops) FROM d2) AS BIGINT) AS diameter_lb
 FROM u
 """.strip()
+
+
+def rmat_sql(scale: int, edge_factor: int = 16, seed: int = 7) -> str:
+    """Replays sources/rmat.py::synth_rmat edge for edge: the same
+    md5 quadrant draws folded over levels as a horizontal sum (the
+    level loop unrolls into one expression per endpoint)."""
+    src_terms, dst_terms = [], []
+    for level in range(scale):
+        h = (
+            f"(('0x' || substr(md5('rmat:{seed}:{level}:' || "
+            f"CAST(eid AS VARCHAR)), 1, 8))::BIGINT % 100)"
+        )
+        w = 1 << (scale - 1 - level)
+        src_terms.append(f"(CASE WHEN {h} < 76 THEN 0 ELSE {w} END)")
+        dst_terms.append(
+            f"(CASE WHEN {h} < 57 OR ({h} >= 76 AND {h} < 95) "
+            f"THEN 0 ELSE {w} END)"
+        )
+    n_edges = edge_factor * (1 << scale)
+    return (
+        f"SELECT CAST({' + '.join(src_terms)} AS BIGINT) AS src, "
+        f"CAST({' + '.join(dst_terms)} AS BIGINT) AS dst "
+        f"FROM (SELECT unnest(generate_series(0, {n_edges - 1})) AS eid)"
+    )
