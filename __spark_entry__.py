@@ -912,6 +912,14 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=5, query_limit=10, n_clusters=8, nprobe=2)
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.pq import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _emb(spark, sf_dir), k=5, query_limit=10, n_clusters=8, nprobe=2
+    )
+
+
 def _q_lsh_bucket_pairs(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.similarity import (
         lsh_bucket_pairs,
@@ -1181,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_cosine_topk,
         "embedding_kmeans": _q_kmeans,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
         "media_stats": _q_media_stats,
@@ -1384,6 +1393,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
         "ann_ivf_topk": oracles.ivf_topk_sql(
+            k=5, query_limit=10, n_clusters=8, nprobe=2
+        ),
+        "ann_ivf_pq_topk": oracles.ivf_pq_topk_sql(
             k=5, query_limit=10, n_clusters=8, nprobe=2
         ),
         "ann_lsh_bucket_pairs": oracles.lsh_bucket_pairs_sql(),

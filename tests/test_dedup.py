@@ -135,3 +135,79 @@ def test_ivf_probe_all_lists_equals_exact(spark):
         )
     )
     assert full_probe == exact
+
+
+def test_ivf_pq_identity_codebook_equals_exact_l2(spark):
+    """With m_sub=1, ks=n, one training iteration, and all lists
+    probed, every vector is its own codeword (own distance 0, unique
+    on gaussians) so the recomputed codebook IS the corpus and ADC
+    degenerates to the exact quantized squared-L2 distance - a full
+    differential against a numpy replay of the ranking."""
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import OFFSET
+    from wedge_parallel_triangle_counting_spark.operators.pq import ivf_pq_topk
+
+    rng = np.random.RandomState(7)
+    n, dim = 60, 8
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                df,
+                k=5,
+                query_limit=6,
+                n_clusters=4,
+                nprobe=4,
+                m_sub=1,
+                ks=n,
+                pq_iters=1,
+            ).collect(),
+        )
+    )
+
+    q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64) + OFFSET
+    want = []
+    for qi in range(6):
+        d = ((q - q[qi]) ** 2).sum(axis=1)
+        order = sorted((int(d[j]), j) for j in range(n) if j != qi)[:5]
+        want += [
+            (qi, j, dj, r + 1) for r, (dj, j) in enumerate(order)
+        ]
+    assert got == sorted(want)
+
+
+def test_ivf_pq_recall_and_rank_contract(spark):
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.pq import ivf_pq_topk
+    from wedge_parallel_triangle_counting_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim = 120, 16
+    vecs = rng.randn(n, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(df, k=5, query_limit=8).collect()
+    }
+    approx_rows = ivf_pq_topk(
+        df, k=5, query_limit=8, n_clusters=4, nprobe=2, m_sub=4, ks=16
+    ).collect()
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.adc >= 0
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    # PQ is doubly lossy (coarse probe + 4x16-code quantization) and
+    # ADC ranks by L2 while the baseline ranks by cosine; on random
+    # gaussians recall stays well above chance (5/119 ~ 0.04)
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall

@@ -2586,6 +2586,99 @@ def ivf_topk_sql(
     )
 
 
+def ivf_pq_topk_sql(
+    k: int = 5,
+    query_limit: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    num_iters: int = 3,
+    m_sub: int = 4,
+    ks: int = 16,
+    pq_iters: int = 2,
+    dim: int = 64,
+) -> str:
+    """Mirrors operators/pq.py::ivf_pq_topk: the coarse kmeans chain +
+    nprobe probe (as ivf_topk_sql), then the multi-subspace PQ Lloyd
+    recursion (md5 seeding per subspace, (d, code) argmin, integer-mean
+    codebook updates, final codebook recomputed from the last
+    assignment) and exact-int64 asymmetric-distance ranking with
+    (adc, vec_id) tie-break. All-BIGINT output."""
+    T = num_iters
+    P = pq_iters
+    ds = dim // m_sub
+    ctes = _kmeans_ctes(n_clusters, num_iters)
+    ctes += [
+        f"cfin AS MATERIALIZED (SELECT a.cluster AS cid, v.i, "
+        f"sum(v.val) // count(*) AS val FROM asg{T} a "
+        f"JOIN dims v USING (vec_id) GROUP BY a.cluster, v.i)",
+        f"qdist AS (SELECT d.vec_id AS query_id, c.cid, "
+        f"sum((d.val - c.val) * (d.val - c.val)) AS pd "
+        f"FROM dims d JOIN cfin c ON c.i = d.i "
+        f"WHERE d.vec_id < {query_limit} GROUP BY d.vec_id, c.cid)",
+        f"probe AS (SELECT query_id, cid AS cluster FROM "
+        f"(SELECT query_id, cid, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY pd, cid) AS rn FROM qdist) WHERE rn <= {nprobe})",
+        # PQ training: subspace index m = (i-1) // ds over the shared
+        # quantized `dims`, one Lloyd recursion per subspace replayed
+        # jointly (cluster key (m, code)), exactly as pq.py::pq_fit.
+        f"sdims AS MATERIALIZED (SELECT vec_id, CAST((i - 1) // {ds} AS INT) "
+        f"AS m, i, val FROM dims)",
+        f"pseed AS (SELECT e.vec_id, CAST(t.m AS INT) AS m, "
+        f"('0x' || substr(md5('pq:' || CAST(t.m AS VARCHAR) || ':' || "
+        f"CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+        f"FROM embeddings e, range({m_sub}) t(m))",
+        f"pinit AS (SELECT vec_id, m, code FROM "
+        f"(SELECT vec_id, m, row_number() OVER (PARTITION BY m "
+        f"ORDER BY h, vec_id) - 1 AS code FROM pseed) WHERE code < {ks})",
+        f"pc0 AS (SELECT p.m, p.code, s.i, s.val FROM pinit p "
+        f"JOIN sdims s ON s.vec_id = p.vec_id AND s.m = p.m)",
+    ]
+    for t in range(1, P + 1):
+        ctes.append(
+            f"pdist{t} AS (SELECT v.vec_id, v.m, c.code, "
+            f"sum((v.val - c.val) * (v.val - c.val)) AS d "
+            f"FROM sdims v JOIN pc{t - 1} c ON c.m = v.m AND c.i = v.i "
+            f"GROUP BY v.vec_id, v.m, c.code)"
+        )
+        ctes.append(
+            f"pasg{t} AS MATERIALIZED (SELECT vec_id, m, code FROM "
+            f"(SELECT vec_id, m, code, row_number() OVER "
+            f"(PARTITION BY vec_id, m ORDER BY d, code) AS rn "
+            f"FROM pdist{t}) WHERE rn = 1)"
+        )
+        if t < P:
+            ctes.append(
+                f"pc{t} AS MATERIALIZED (SELECT a.m, a.code, v.i, "
+                f"sum(v.val) // count(*) AS val FROM pasg{t} a "
+                f"JOIN sdims v ON v.vec_id = a.vec_id AND v.m = a.m "
+                f"GROUP BY a.m, a.code, v.i)"
+            )
+    ctes += [
+        f"pcfin AS MATERIALIZED (SELECT a.m, a.code, v.i, "
+        f"sum(v.val) // count(*) AS val FROM pasg{P} a "
+        f"JOIN sdims v ON v.vec_id = a.vec_id AND v.m = a.m "
+        f"GROUP BY a.m, a.code, v.i)",
+        f"cand AS (SELECT p.query_id, a.vec_id FROM probe p "
+        f"JOIN asg{T} a ON a.cluster = p.cluster "
+        f"WHERE a.vec_id <> p.query_id)",
+        f"adc AS (SELECT c.query_id, c.vec_id, "
+        f"sum((q.val - cb.val) * (q.val - cb.val)) AS adc "
+        f"FROM cand c JOIN pasg{P} pa ON pa.vec_id = c.vec_id "
+        f"JOIN pcfin cb ON cb.m = pa.m AND cb.code = pa.code "
+        f"JOIN sdims q ON q.vec_id = c.query_id AND q.i = cb.i "
+        f"GROUP BY c.query_id, c.vec_id)",
+        f"pranked AS (SELECT query_id, vec_id, adc, "
+        f"CAST(row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY adc ASC, vec_id ASC) AS BIGINT) AS rank FROM adc)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, vec_id, CAST(adc AS BIGINT) AS adc, rank "
+        f"FROM pranked WHERE rank <= {k}"
+    )
+
+
 def attribution_sql(window_minutes: int = 30) -> str:
     """Mirrors streaming/joins.py::attribution_batch — the batch twin
     of the stream-stream attribution join; exact integer microsecond
