@@ -589,6 +589,19 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOUVAIN_ROUNDS = 2
+
+
+def _q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        louvain_move_rounds,
+    )
+
+    return louvain_move_rounds(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_rounds=LOUVAIN_ROUNDS
+    )
+
+
 SCC_MAX_OUTER = 40
 
 
@@ -1146,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
+        "graph_louvain_move": _q_louvain_move,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
         "graph_densest": _q_densest,
@@ -1330,6 +1344,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "labelprop": oracles.labelprop_sql(
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
+        ),
+        "graph_louvain_move": oracles.louvain_move_sql(
+            testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS
         ),
         "graph_sssp": oracles.sssp_sql(
             testdata.derived_weighted_edges_sql(), max_rounds=SSSP_ROUNDS

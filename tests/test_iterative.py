@@ -504,3 +504,73 @@ def test_eigencentrality_resume(spark, tmp_path):
     assert set(resumed) == set(direct)
     for v in direct:
         assert abs(resumed[v] - direct[v]) < 1e-12
+
+
+def _louvain_replay(edge_list, num_rounds):
+    """Pure-python replay of community.py::louvain_move_rounds."""
+    sym = set()
+    for a, b in edge_list:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    verts = sorted({v for e in sym for v in e})
+    deg = {v: sum(1 for s, _ in sym if s == v) for v in verts}
+    m2 = len(sym)
+    comm = {v: v for v in verts}
+    for _ in range(num_rounds):
+        sigma = {}
+        for v in verts:
+            sigma[comm[v]] = sigma.get(comm[v], 0) + deg[v]
+        nxt = {}
+        for v in verts:
+            kvc = {}
+            for s, d in sym:
+                if s == v:
+                    kvc[comm[d]] = kvc.get(comm[d], 0) + 1
+            best = max(
+                (
+                    m2 * k
+                    - deg[v] * (sigma[c] - (deg[v] if c == comm[v] else 0)),
+                    -c,
+                )
+                for c, k in kvc.items()
+            )
+            nxt[v] = -best[1] if best[0] > 0 else v
+        comm = nxt
+    return comm
+
+
+def test_louvain_move_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(5)
+    edge_list = [(rng.randrange(40), rng.randrange(40)) for _ in range(160)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        louvain_move_rounds,
+    )
+
+    got = {
+        r.v: r.community for r in louvain_move_rounds(df, num_rounds=2).collect()
+    }
+    assert got == _louvain_replay(edge_list, 2)
+
+
+def test_louvain_move_improves_modularity_on_cliques(spark):
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        louvain_move_rounds,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.quality import modularity
+
+    edges = []
+    for base in (0, 10):  # two 6-cliques + one bridge
+        ids = list(range(base, base + 6))
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((0, 10))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    asg = louvain_move_rounds(df, num_rounds=2)
+    q = modularity(df, asg).collect()[0]
+    # singleton partition scores q_ppm < 0; grouping the cliques must
+    # land clearly positive
+    assert q.q_ppm > 100_000, q

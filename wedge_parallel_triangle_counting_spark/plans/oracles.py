@@ -1161,6 +1161,68 @@ def labelprop_sql(raw_sql: str, num_iters: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT v, label FROM l{num_iters}"
 
 
+def louvain_move_sql(raw_sql: str, num_rounds: int = 2) -> str:
+    """Mirrors operators/community.py::louvain_move_rounds: singleton
+    init, synchronous exact-integer modularity-gain argmax per round
+    (score = 2m*k_vc - k_v*sigma_adj in HUGEINT == Spark decimal(38,0)),
+    (score DESC, c ASC) tie-break, singleton fallback on score <= 0."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        """sym AS (
+            SELECT src, dst FROM clean
+            UNION
+            SELECT dst AS src, src AS dst FROM clean
+        )""",
+        "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS kv "
+        "FROM sym GROUP BY src)",
+        "mm AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM sym)",
+        "c0 AS (SELECT v, v AS community FROM deg)",
+    ]
+    for t in range(1, num_rounds + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"cs{t} AS (SELECT p.community AS c, "
+            f"CAST(sum(d.kv) AS HUGEINT) AS sigma "
+            f"FROM {prev} p JOIN deg d USING (v) GROUP BY p.community)"
+        )
+        ctes.append(
+            f"sc{t} AS (SELECT s.src AS v, p.community AS c, "
+            f"CAST(count(*) AS HUGEINT) AS kvc "
+            f"FROM sym s JOIN {prev} p ON p.v = s.dst "
+            f"GROUP BY s.src, p.community)"
+        )
+        ctes.append(
+            f"""c{t} AS (
+            SELECT v, CASE WHEN score > 0 THEN c ELSE v END AS community
+            FROM (
+                SELECT v, c, score,
+                       row_number() OVER (
+                           PARTITION BY v ORDER BY score DESC, c ASC
+                       ) AS rn
+                FROM (
+                    SELECT k.v, k.c,
+                           mm.m2 * k.kvc
+                             - CAST(d.kv AS HUGEINT)
+                               * (cs.sigma - CASE WHEN k.c = p.community
+                                             THEN d.kv ELSE 0 END) AS score
+                    FROM sc{t} k
+                    JOIN deg d ON d.v = k.v
+                    JOIN {prev} p ON p.v = k.v
+                    JOIN cs{t} cs ON cs.c = k.c
+                    CROSS JOIN mm
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, CAST(community AS BIGINT) AS community "
+        f"FROM c{num_rounds}"
+    )
+
+
 # -- ingest pipeline oracles (over the documents-derived pages table) --
 
 _INGEST_CTE = """
