@@ -602,6 +602,18 @@ def _q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_community_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        contract_communities,
+        louvain_move_rounds,
+    )
+
+    edges = testdata.derived_pagerank_edges(spark, sf_dir)
+    return contract_communities(
+        edges, louvain_move_rounds(edges, num_rounds=LOUVAIN_ROUNDS)
+    )
+
+
 SCC_MAX_OUTER = 40
 
 
@@ -1160,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
         "graph_louvain_move": _q_louvain_move,
+        "graph_community_contract": _q_community_contract,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
         "graph_densest": _q_densest,
@@ -1346,6 +1359,9 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_pagerank_edges_sql(), LABELPROP_ITERS
         ),
         "graph_louvain_move": oracles.louvain_move_sql(
+            testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS
+        ),
+        "graph_community_contract": oracles.community_contract_sql(
             testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS
         ),
         "graph_sssp": oracles.sssp_sql(

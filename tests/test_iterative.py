@@ -574,3 +574,34 @@ def test_louvain_move_improves_modularity_on_cliques(spark):
     # singleton partition scores q_ppm < 0; grouping the cliques must
     # land clearly positive
     assert q.q_ppm > 100_000, q
+
+
+def test_contract_communities_conserves_edges(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        contract_communities,
+        louvain_move_rounds,
+    )
+
+    rng = random.Random(9)
+    edge_list = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    clean = {
+        (min(a, b), max(a, b)) for a, b in edge_list if a != b
+    }
+    asg = louvain_move_rounds(df, num_rounds=2)
+    sup = contract_communities(df, asg)
+    rows = sup.collect()
+    # every clean undirected edge lands in exactly one supergraph cell
+    assert sum(r.weight for r in rows) == len(clean)
+    assert all(r.ca <= r.cb for r in rows)
+    # contracting with an EMPTY assignment is the identity graph
+    ident = contract_communities(
+        df, spark.createDataFrame([], "v long, community long")
+    )
+    assert {(r.ca, r.cb, r.weight) for r in ident.collect()} == {
+        (a, b, 1) for a, b in clean
+    }

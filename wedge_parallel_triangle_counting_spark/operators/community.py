@@ -104,3 +104,59 @@ def louvain_move_rounds(edges: DataFrame, num_rounds: int = 2) -> DataFrame:
     comm.count()
     sym.unpersist()
     return comm
+
+
+def contract_communities(
+    edges: DataFrame,
+    assignment: DataFrame,
+    v_col: str = "v",
+    c_col: str = "community",
+) -> DataFrame:
+    """The Louvain coarsening step: collapse each community to a
+    super-vertex and return the weighted supergraph
+    [ca: long, cb: long, weight: long] over the clean undirected
+    graph, ca <= cb canonical; intra-community edges survive as
+    ca == cb loop rows (their weight is what the next Louvain level's
+    modularity needs). Vertices absent from `assignment` keep
+    themselves as their community (partial labelings contract too).
+
+    One edge-sized map + one (ca, cb) aggregation — the supergraph is
+    communities-sized, so every subsequent level is cheaper; this is
+    why multilevel Louvain scales where flat algorithms do not.
+    """
+    clean = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    amap = assignment.select(
+        F.col(v_col).alias("_v"), F.col(c_col).alias("_c")
+    )
+    ca = F.coalesce(F.col("ca0"), F.col("a"))
+    cb = F.coalesce(F.col("cb0"), F.col("b"))
+    return (
+        clean.join(
+            amap.select(F.col("_v").alias("a"), F.col("_c").alias("ca0")),
+            "a",
+            "left",
+        )
+        .join(
+            amap.select(F.col("_v").alias("b"), F.col("_c").alias("cb0")),
+            "b",
+            "left",
+        )
+        .select(
+            F.least(ca, cb).alias("ca"),
+            F.greatest(ca, cb).alias("cb"),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .select(
+            F.col("ca").cast("long").alias("ca"),
+            F.col("cb").cast("long").alias("cb"),
+            "weight",
+        )
+    )

@@ -1223,6 +1223,33 @@ def louvain_move_sql(raw_sql: str, num_rounds: int = 2) -> str:
     )
 
 
+def community_contract_sql(raw_sql: str, num_rounds: int = 2) -> str:
+    """Mirrors operators/community.py::contract_communities composed
+    over louvain_move_rounds: canonical clean edges relabeled to
+    (community(a), community(b)) ordered pairs, counted — loop rows
+    (ca == cb) kept for the next level's modularity."""
+    asg = louvain_move_sql(raw_sql, num_rounds)
+    return f"""
+WITH asg AS ({asg}),
+cedges AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ({raw_sql}) WHERE src <> dst
+),
+mapped AS (
+    SELECT least(coalesce(ma.community, c.a),
+                 coalesce(mb.community, c.b)) AS ca,
+           greatest(coalesce(ma.community, c.a),
+                    coalesce(mb.community, c.b)) AS cb
+    FROM cedges c
+    LEFT JOIN asg ma ON ma.v = c.a
+    LEFT JOIN asg mb ON mb.v = c.b
+)
+SELECT CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+       CAST(count(*) AS BIGINT) AS weight
+FROM mapped GROUP BY ca, cb
+""".strip()
+
+
 # -- ingest pipeline oracles (over the documents-derived pages table) --
 
 _INGEST_CTE = """
