@@ -614,6 +614,27 @@ def _q_community_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_PUSH_ROUNDS = 6
+
+
+def _q_ppr_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.localcluster import ppr_push
+
+    return ppr_push(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_rounds=PPR_PUSH_ROUNDS
+    )
+
+
+def _q_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.localcluster import (
+        ppr_push,
+        sweep_cut,
+    )
+
+    edges = testdata.derived_pagerank_edges(spark, sf_dir)
+    return sweep_cut(edges, ppr_push(edges, num_rounds=PPR_PUSH_ROUNDS))
+
+
 SCC_MAX_OUTER = 40
 
 
@@ -1173,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop": _q_labelprop,
         "graph_louvain_move": _q_louvain_move,
         "graph_community_contract": _q_community_contract,
+        "graph_ppr_push": _q_ppr_push,
+        "graph_sweep_cut": _q_sweep_cut,
         "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
         "graph_densest": _q_densest,
@@ -1363,6 +1386,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_community_contract": oracles.community_contract_sql(
             testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS
+        ),
+        "graph_ppr_push": oracles.ppr_push_sql(
+            testdata.derived_pagerank_edges_sql(), num_rounds=PPR_PUSH_ROUNDS
+        ),
+        "graph_sweep_cut": oracles.sweep_cut_sql(
+            testdata.derived_pagerank_edges_sql(), num_rounds=PPR_PUSH_ROUNDS
         ),
         "graph_sssp": oracles.sssp_sql(
             testdata.derived_weighted_edges_sql(), max_rounds=SSSP_ROUNDS

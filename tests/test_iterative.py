@@ -605,3 +605,78 @@ def test_contract_communities_conserves_edges(spark):
     assert {(r.ca, r.cb, r.weight) for r in ident.collect()} == {
         (a, b, 1) for a, b in clean
     }
+
+
+def _ppr_replay(edge_list, seed, rounds, an=15, ad=100, eps_inv=10_000):
+    """Pure-python replay of localcluster.py::ppr_push."""
+    UNIT = 10**12
+    sym = {}
+    for a, b in edge_list:
+        if a != b:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in sym.items()}
+    epsu = UNIT // eps_inv
+    p, r = {}, {seed: UNIT}
+    for _ in range(rounds):
+        frontier = {v: rv for v, rv in r.items() if rv >= deg[v] * epsu}
+        inc = {}
+        for v, rv in frontier.items():
+            gain = rv * an // ad
+            spread = rv - gain
+            share = spread // deg[v]
+            p[v] = p.get(v, 0) + gain
+            r[v] = spread - share * deg[v]
+            if share > 0:
+                for u in sym[v]:
+                    inc[u] = inc.get(u, 0) + share
+        for u, x in inc.items():  # synchronous merge AFTER all pushes
+            r[u] = r.get(u, 0) + x
+    return p, r
+
+
+def test_ppr_push_matches_python_replay_and_conserves_mass(spark):
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.localcluster import (
+        UNIT,
+        ppr_push,
+    )
+
+    rng = random.Random(3)
+    edge_list = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    rows = ppr_push(df, num_rounds=4).collect()
+    # seed = max-degree vertex, min id tie-break
+    sym = {}
+    for a, b in edge_list:
+        if a != b:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+    seed = min(sym, key=lambda v: (-len(sym[v]), v))
+    p, r = _ppr_replay(edge_list, seed, 4)
+    got_p = {row.v: row.p for row in rows if row.p}
+    got_r = {row.v: row.r for row in rows if row.r}
+    assert got_p == {v: x for v, x in p.items() if x}
+    assert got_r == {v: x for v, x in r.items() if x}
+    assert sum(row.p for row in rows) + sum(row.r for row in rows) == UNIT
+
+
+def test_sweep_cut_finds_planted_clique_cut(spark):
+    from wedge_parallel_triangle_counting_spark.operators.localcluster import (
+        ppr_push,
+        sweep_cut,
+    )
+
+    edges = []
+    for base in (0, 20):  # two 8-cliques, one bridge; seed lands in
+        ids = list(range(base, base + 8))  # the 0-clique (max-deg tie -> 0)
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges.append((0, 20))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sweep = sweep_cut(df, ppr_push(df, num_rounds=6)).collect()
+    best = min(sweep, key=lambda r: (r.cond_ppm, r.rank))
+    # the planted best cut: the seed's whole clique, one crossing edge
+    assert best.cut == 1
+    prefix = {r.v for r in sweep if r.rank <= best.rank}
+    assert prefix == set(range(8))

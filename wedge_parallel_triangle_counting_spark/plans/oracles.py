@@ -1223,6 +1223,127 @@ def louvain_move_sql(raw_sql: str, num_rounds: int = 2) -> str:
     )
 
 
+def _ppr_push_ctes(
+    raw_sql: str,
+    alpha_num: int,
+    alpha_den: int,
+    eps_inv: int,
+    num_rounds: int,
+) -> list[str]:
+    """Shared CTE chain replaying operators/localcluster.py::ppr_push:
+    sparse integer-UNIT state, synchronous threshold pushes, exact
+    floor-division share/leftover split. Final state CTE is
+    s{num_rounds}."""
+    unit = 10**12
+    epsu = unit // eps_inv
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        """sym AS (
+            SELECT src, dst FROM clean
+            UNION
+            SELECT dst AS src, src AS dst FROM clean
+        )""",
+        "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS kv "
+        "FROM sym GROUP BY src)",
+        "seedv AS (SELECT v FROM deg ORDER BY kv DESC, v ASC LIMIT 1)",
+        f"s0 AS (SELECT v, CAST(0 AS BIGINT) AS p, "
+        f"CAST({unit} AS BIGINT) AS r FROM seedv)",
+    ]
+    for t in range(1, num_rounds + 1):
+        prev = f"s{t - 1}"
+        ctes.append(
+            f"frc{t} AS (SELECT v, kv, p_add, "
+            f"(r_push - p_add) // kv AS share, "
+            f"(r_push - p_add) - ((r_push - p_add) // kv) * kv AS leftover "
+            f"FROM (SELECT s.v, d.kv, "
+            f"s.r * {alpha_num} // {alpha_den} AS p_add, s.r AS r_push "
+            f"FROM {prev} s JOIN deg d USING (v) "
+            f"WHERE s.r >= d.kv * {epsu}))"
+        )
+        ctes.append(
+            f"""s{t} AS MATERIALIZED (
+            SELECT v, CAST(sum(p) AS BIGINT) AS p,
+                   CAST(sum(r) AS BIGINT) AS r
+            FROM (
+                SELECT s.v, s.p + coalesce(f.p_add, 0) AS p,
+                       CASE WHEN f.v IS NOT NULL THEN f.leftover
+                            ELSE s.r END AS r
+                FROM {prev} s LEFT JOIN frc{t} f USING (v)
+                UNION ALL
+                SELECT e.dst AS v, 0 AS p, f.share AS r
+                FROM sym e JOIN frc{t} f ON f.v = e.src
+                WHERE f.share > 0
+            ) GROUP BY v
+        )"""
+        )
+    return ctes
+
+
+def ppr_push_sql(
+    raw_sql: str,
+    alpha_num: int = 15,
+    alpha_den: int = 100,
+    eps_inv: int = 10_000,
+    num_rounds: int = 6,
+) -> str:
+    ctes = _ppr_push_ctes(raw_sql, alpha_num, alpha_den, eps_inv, num_rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, p, r FROM s{num_rounds}"
+    )
+
+
+def sweep_cut_sql(
+    raw_sql: str,
+    alpha_num: int = 15,
+    alpha_den: int = 100,
+    eps_inv: int = 10_000,
+    num_rounds: int = 6,
+) -> str:
+    """Mirrors operators/localcluster.py::sweep_cut composed over
+    ppr_push: (q DESC, v ASC) sweep order over the p > 0 support,
+    running-sum volume and cut (edge enters at its lower endpoint
+    rank, leaves at its higher; out-of-sweep endpoint = +inf), exact
+    floor-ppm conductance, zero-denominator prefixes dropped."""
+    R = num_rounds
+    ctes = _ppr_push_ctes(raw_sql, alpha_num, alpha_den, eps_inv, num_rounds)
+    ctes += [
+        f"swept AS (SELECT s.v, s.p, d.kv, s.p * 1000000 // d.kv AS q "
+        f"FROM s{R} s JOIN deg d USING (v) WHERE s.p > 0)",
+        "rkd AS MATERIALIZED (SELECT v, p, kv, q, "
+        "CAST(row_number() OVER (ORDER BY q DESC, v ASC) AS BIGINT) AS rank "
+        "FROM swept)",
+        "cedges AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM clean)",
+        "ev AS (SELECT CASE WHEN ra.rank IS NULL THEN rb.rank "
+        "WHEN rb.rank IS NULL THEN ra.rank "
+        "ELSE least(ra.rank, rb.rank) END AS lo, "
+        "CASE WHEN ra.rank IS NOT NULL AND rb.rank IS NOT NULL "
+        "THEN greatest(ra.rank, rb.rank) END AS hi "
+        "FROM cedges c "
+        "LEFT JOIN rkd ra ON ra.v = c.a LEFT JOIN rkd rb ON rb.v = c.b)",
+        "delta AS (SELECT rank, CAST(sum(d) AS BIGINT) AS d FROM ("
+        "SELECT lo AS rank, 1 AS d FROM ev WHERE lo IS NOT NULL "
+        "UNION ALL SELECT hi AS rank, -1 AS d FROM ev WHERE hi IS NOT NULL"
+        ") GROUP BY rank)",
+        "m2v AS (SELECT CAST(count(*) * 2 AS BIGINT) AS m2 FROM cedges)",
+        "sout AS (SELECT r.rank, r.v, r.q, "
+        "CAST(sum(r.kv) OVER w AS BIGINT) AS vol, "
+        "CAST(sum(coalesce(dl.d, 0)) OVER w AS BIGINT) AS cut "
+        "FROM rkd r LEFT JOIN delta dl USING (rank) "
+        "WINDOW w AS (ORDER BY r.rank ROWS UNBOUNDED PRECEDING))",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT rank, v, q, vol, cut, "
+        "cut * 1000000 // least(vol, m2 - vol) AS cond_ppm "
+        "FROM sout CROSS JOIN m2v WHERE least(vol, m2 - vol) > 0"
+    )
+
+
 def community_contract_sql(raw_sql: str, num_rounds: int = 2) -> str:
     """Mirrors operators/community.py::contract_communities composed
     over louvain_move_rounds: canonical clean edges relabeled to
