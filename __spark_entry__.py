@@ -993,6 +993,17 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    # threshold sits under the synthetic embeddings' ~0.51 cosine
+    # ceiling (see EMB_NEAR_DUP_THRESHOLD note) so the pair set is
+    # non-trivial at test scale
+    return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_random_plane_lsh(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.similarity import (
         random_plane_lsh_candidates,
@@ -1220,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_semantic": _q_semantic_dedup,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -1452,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),
+        "dedup_semantic": oracles.semantic_dedup_sql(threshold=0.4),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
         "ann_ivf_topk": oracles.ivf_topk_sql(

@@ -211,3 +211,29 @@ def test_ivf_pq_recall_and_rank_contract(spark):
     approx = {(r.query_id, r.vec_id) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall
+
+
+def test_semantic_dedup_within_cluster_only_and_exact_recall(spark):
+    """Pairs come only from shared clusters; an exact duplicate vector
+    is ALWAYS caught (identical vectors land in the same cluster)."""
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(17)
+    n, dim = 50, 8
+    vecs = rng.randn(n, dim).astype(np.float32)
+    vecs[41] = vecs[3]  # plant an exact duplicate
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(df, k=4, threshold=0.3).collect()
+    asg = {r.vec_id: r.cluster for r in kmeans_assign(df, k=4).collect()}
+    assert all(asg[r.id_a] == asg[r.id_b] == r.cluster for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+    planted = [r for r in pairs if (r.id_a, r.id_b) == (3, 41)]
+    assert len(planted) == 1 and planted[0].cos == 1.0

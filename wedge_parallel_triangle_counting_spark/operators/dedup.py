@@ -337,3 +337,54 @@ def substring_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    num_iters: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs by
+    clustering first, comparing only within a cluster. Returns
+    (id_a, id_b, cluster, cos) with id_a < id_b and cosine >=
+    threshold, cos rounded to 1e-6.
+
+    The deterministic integer k-means (operators/kmeans.py) is the
+    candidate bound: per-cluster all-pairs is the SemDeDup contract,
+    and k scales with corpus size (sqrt(N)-ish) so per-cluster work
+    stays ~(N/k)^2 — bounded, never global all-pairs. One equi-join
+    on cluster id; the oracle replays clustering + pairing exactly."""
+    from .kmeans import kmeans_assign
+    from .similarity import _as_double, _dot, _norm
+
+    assign = kmeans_assign(emb, k=k, num_iters=num_iters, id_col=id_col, vec_col=vec_col)
+    base = (
+        emb.select(
+            F.col(id_col).cast("long").alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nrm", _norm(F.col("v")))
+        .join(assign.withColumnRenamed("vec_id", "vid"), "vid")
+    )
+    a = base.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cluster",
+    )
+    b = base.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cluster",
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.col("cluster").cast("int").alias("cluster"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

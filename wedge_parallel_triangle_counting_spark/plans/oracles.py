@@ -2889,6 +2889,34 @@ def ivf_pq_topk_sql(
     )
 
 
+def semantic_dedup_sql(
+    k: int = 8, num_iters: int = 3, threshold: float = 0.4
+) -> str:
+    """Mirrors operators/dedup.py::semantic_dedup_pairs: the kmeans
+    chain, then within-cluster cosine pairs (id_a < id_b) at the
+    threshold, cos rounded to 1e-6."""
+    T = num_iters
+    ctes = _kmeans_ctes(k, num_iters)
+    ctes += [
+        f"sbase AS (SELECT CAST(e.vec_id AS BIGINT) AS vid, "
+        f"list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v, "
+        f"a.cluster FROM embeddings e JOIN asg{T} a ON a.vec_id = e.vec_id)",
+        "snrm AS (SELECT vid, v, cluster, "
+        "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM sbase)",
+        f"spairs AS (SELECT a.vid AS id_a, b.vid AS id_b, "
+        f"CAST(a.cluster AS INT) AS cluster, "
+        f"list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos "
+        f"FROM snrm a JOIN snrm b ON a.cluster = b.cluster "
+        f"AND a.vid < b.vid)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id_a, id_b, cluster, round(cos, 6) AS cos "
+        f"FROM spairs WHERE cos >= {threshold}"
+    )
+
+
 def attribution_sql(window_minutes: int = 30) -> str:
     """Mirrors streaming/joins.py::attribution_batch — the batch twin
     of the stream-stream attribution join; exact integer microsecond
