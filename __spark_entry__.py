@@ -993,6 +993,20 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_events_funnel(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.streaming.events import funnel
+
+    return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_vocab_growth(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_docs(spark, sf_dir), bucket_size=50)
+
+
 def _q_semantic_dedup(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.dedup import (
         semantic_dedup_pairs,
@@ -1232,6 +1246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "dedup_semantic": _q_semantic_dedup,
+        "text_vocab_growth": _q_vocab_growth,
+        "events_funnel": _q_events_funnel,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -1465,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),
         "dedup_semantic": oracles.semantic_dedup_sql(threshold=0.4),
+        "text_vocab_growth": oracles.vocab_growth_sql(bucket_size=50),
+        "events_funnel": oracles.funnel_sql(),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
         "ann_ivf_topk": oracles.ivf_topk_sql(

@@ -440,3 +440,46 @@ def test_remove_boilerplate_lines(spark):
     assert got[2] == ("body two", 1, 1)
     assert 3 not in got  # all-chrome doc dropped
     assert got[4] == ("NAV\nbody four", 2, 0)  # per-host scoping
+
+
+def test_vocab_growth_exact_on_tiny_corpus(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b"),
+            (2, "c d"),
+            (3, "e e e"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in vocab_growth(docs, bucket_size=2).collect()}
+    # bucket 0 = docs {0,1}: vocab {a,b,c}; bucket 1 adds {d,e}
+    assert rows[0].docs_cum == 2 and rows[0].vocab_cum == 3
+    assert rows[1].docs_cum == 4 and rows[1].new_terms == 2
+    assert rows[1].vocab_cum == 5
+
+
+def test_funnel_monotone_and_exact_on_tiny_events(spark):
+    from datetime import datetime
+
+    from wedge_parallel_triangle_counting_spark.streaming.events import funnel
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 completes view->click->purchase in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # user 2 clicks BEFORE viewing: click must not count
+        (2, t(3), "click"), (2, t(4), "view"),
+        # user 3 views only
+        (3, t(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    df = df.withColumn("value", df.user_id.cast("double"))
+    out = {r.stage: r for r in funnel(df).collect()}
+    assert [out[k].users for k in (1, 2, 3)] == [3, 1, 1]
+    assert out[2].total_lag_us == 5_000_000
+    assert out[3].total_lag_us == 9_000_000

@@ -537,3 +537,47 @@ def remove_boilerplate_lines(
             (F.col("n_total") - F.col("n_lines_kept")).alias("n_lines_removed"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    bucket_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: scanning documents in doc_id
+    order, how many distinct terms have appeared after each bucket of
+    `bucket_size` docs. Returns (bucket, docs_cum, new_terms,
+    vocab_cum) — dataset-card material (V = K·n^beta sub-linearity is
+    the sanity check that a corpus isn't TEMPLATE-dominated).
+
+    Scale shape: one (term -> min doc_id) aggregation over the
+    exploded token relation (map-side combined), then bucket rollups —
+    output cardinality = n_docs / bucket_size. The cumulative window
+    runs over buckets, not terms."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("d"), F.explode(_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    first = tok.groupBy("term").agg(F.min("d").alias("first_doc"))
+    per_bucket = (
+        first.groupBy(F.expr(f"first_doc div {bucket_size}").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    docs_per_bucket = (
+        docs.groupBy(F.expr(f"{id_col} div {bucket_size}").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per_bucket.join(per_bucket, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+        )
+        .withColumn("docs_cum", F.sum("n_docs").over(w).cast("long"))
+        .withColumn("vocab_cum", F.sum("new_terms").over(w).cast("long"))
+        .select("bucket", "docs_cum", "new_terms", "vocab_cum")
+    )

@@ -1728,6 +1728,68 @@ FROM agg
 """.strip()
 
 
+def funnel_sql(stages: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """Mirrors streaming/events.py::funnel — per-user min-ts stage
+    reach with ties allowed, exact integer-microsecond lag sums."""
+    ctes = [
+        f"r1 AS (SELECT user_id, min(ts) AS t1, min(ts) AS tk "
+        f"FROM events WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+    ]
+    selects = [
+        "SELECT 1 AS stage, '" + stages[0] + "' AS stage_name, "
+        "CAST(count(*) AS BIGINT) AS users, "
+        "CAST(coalesce(sum(date_diff('microsecond', t1, tk)), 0) AS BIGINT) "
+        "AS total_lag_us FROM r1"
+    ]
+    for k, st in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"r{k} AS (SELECT e.user_id, r.t1, min(e.ts) AS tk "
+            f"FROM events e JOIN r{k - 1} r ON r.user_id = e.user_id "
+            f"WHERE e.event_type = '{st}' AND e.ts >= r.tk "
+            f"GROUP BY e.user_id, r.t1)"
+        )
+        selects.append(
+            f"SELECT {k} AS stage, '{st}' AS stage_name, "
+            f"CAST(count(*) AS BIGINT) AS users, "
+            f"CAST(coalesce(sum(date_diff('microsecond', t1, tk)), 0) AS BIGINT) "
+            f"AS total_lag_us FROM r{k}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(stage AS BIGINT) AS stage, stage_name, users, "
+        "total_lag_us FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+def vocab_growth_sql(bucket_size: int = 50) -> str:
+    """Mirrors operators/textstats.py::vocab_growth."""
+    return rf"""
+WITH tok AS (
+    SELECT d, term FROM (
+        SELECT doc_id AS d,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+    ) WHERE term <> ''
+),
+firstd AS (SELECT term, min(d) AS first_doc FROM tok GROUP BY term),
+pb AS (SELECT first_doc // {bucket_size} AS bucket,
+              CAST(count(*) AS BIGINT) AS new_terms
+       FROM firstd GROUP BY 1),
+db AS (SELECT doc_id // {bucket_size} AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT CAST(db.bucket AS BIGINT) AS bucket,
+       CAST(sum(n_docs) OVER w AS BIGINT) AS docs_cum,
+       coalesce(new_terms, 0) AS new_terms,
+       CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+FROM db LEFT JOIN pb USING (bucket)
+WINDOW w AS (ORDER BY db.bucket ROWS UNBOUNDED PRECEDING)
+""".strip()
+
+
 def lang_id_sql() -> str:
     from ..operators.textstats import LANG_ORDER, STOPWORDS
 

@@ -183,3 +183,51 @@ def run_streaming_sessionized(
     )
     query.awaitTermination()
     return spark.table("sessionized_events")
+
+
+def funnel(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage k when they
+    have a stage-k event at-or-after their earliest reach of stage
+    k-1 (min-ts semantics, ties allowed — identical rule in the
+    oracle). Returns one row per stage:
+    (stage, stage_name, users, total_lag_us), lag the exact integer
+    microseconds from the user's stage-1 time, summed over users —
+    the conversion-funnel dataset-card numbers.
+
+    Scale shape: one user_id-keyed min-aggregation per stage, each
+    joined co-partitioned on user_id to the previous stage's reach
+    times; output cardinality = len(stages)."""
+    # parquet NTZ timestamps -> session-zoned for unix_micros (same
+    # normalization as streaming/joins.py::attribution_batch)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    reach = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .withColumn("tk", F.col("t1"))
+    )
+    out = None
+    for k, st in enumerate(stages, start=1):
+        if k > 1:
+            reach = (
+                events.filter(F.col("event_type") == st)
+                .join(reach.select("user_id", "t1", "tk"), "user_id")
+                .filter(F.col("ts") >= F.col("tk"))
+                .groupBy("user_id", "t1")
+                .agg(F.min("ts").alias("tk"))
+            )
+        stage_row = reach.agg(
+            F.count("*").cast("long").alias("users"),
+            F.coalesce(
+                F.sum(F.unix_micros("tk") - F.unix_micros("t1")), F.lit(0)
+            )
+            .cast("long")
+            .alias("total_lag_us"),
+        ).select(
+            F.lit(k).cast("long").alias("stage"),
+            F.lit(st).alias("stage_name"),
+            "users",
+            "total_lag_us",
+        )
+        out = stage_row if out is None else out.unionByName(stage_row)
+    return out
