@@ -993,6 +993,12 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import rich_club
+
+    return rich_club(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_events_funnel(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.streaming.events import funnel
 
@@ -1005,6 +1011,14 @@ def _q_vocab_growth(spark, sf_dir):
     )
 
     return vocab_growth(_docs(spark, sf_dir), bucket_size=50)
+
+
+def _q_containment(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark, sf_dir), min_pct=60)
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -1246,8 +1260,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "dedup_semantic": _q_semantic_dedup,
+        "dedup_containment": _q_containment,
         "text_vocab_growth": _q_vocab_growth,
         "events_funnel": _q_events_funnel,
+        "graph_rich_club": _q_rich_club,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -1481,8 +1497,12 @@ def oracle_sql() -> dict[str, str]:
             threshold=EMB_NEAR_DUP_THRESHOLD
         ),
         "dedup_semantic": oracles.semantic_dedup_sql(threshold=0.4),
+        "dedup_containment": oracles.containment_sql(min_pct=60),
         "text_vocab_growth": oracles.vocab_growth_sql(bucket_size=50),
         "events_funnel": oracles.funnel_sql(),
+        "graph_rich_club": oracles.rich_club_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
         "ann_ivf_topk": oracles.ivf_topk_sql(

@@ -237,3 +237,23 @@ def test_semantic_dedup_within_cluster_only_and_exact_recall(spark):
     assert all(r.id_a < r.id_b for r in pairs)
     planted = [r for r in pairs if (r.id_a, r.id_b) == (3, 41)]
     assert len(planted) == 1 and planted[0].cos == 1.0
+
+
+def test_containment_catches_subset_doc(spark):
+    """A document fully contained in a larger one: containment 100%
+    inner-side even though Jaccard is low."""
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(60))
+    small = " ".join(f"w{i}" for i in range(20, 28))  # 8 tokens inside big
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, big), (1, small), (2, other)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs, n=3, min_pct=90).collect()
+    assert {(r.doc_inner, r.doc_outer, r.cont_pct) for r in rows} == {(1, 0, 100)}
+    # Jaccard at the same strictness misses it (6 shared / 58 union)
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0

@@ -388,3 +388,60 @@ def semantic_dedup_pairs(
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_pct: int = 60,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (Broder 1997's other resemblance measure): |A∩B| / |A| — catches
+    quotes, boilerplate inclusion, and subset documents that Jaccard
+    misses when the container is much larger. Returns directed rows
+    (doc_inner, doc_outer, inter, sz_inner, cont_pct) with
+    cont_pct = inter*100 div sz_inner >= min_pct, doc_inner !=
+    doc_outer; exact integer percent, both directions of a candidate
+    pair evaluated from ONE unordered inverted-index join.
+
+    Same stop-shingle cutoff (df <= max_shingle_freq) as
+    ngram_jaccard_pairs bounds the candidate join at web scale."""
+    sh = shingles(docs, n=n)
+    if max_shingle_freq is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"),
+            "doc_b",
+        )
+    )
+    fwd = inter.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        "inter",
+        F.col("sza").cast("long").alias("sz_inner"),
+    )
+    rev = inter.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        "inter",
+        F.col("szb").cast("long").alias("sz_inner"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("cont_pct", F.expr("inter * 100 div sz_inner"))
+        .filter(F.col("cont_pct") >= min_pct)
+    )

@@ -171,3 +171,59 @@ def reciprocity(edges: DataFrame, caches: list | None = None) -> DataFrame:
         ),
     )
     return finish_with_caches(out, [e], caches)
+
+
+def rich_club(edges: DataFrame, max_k_log2: int = 12) -> DataFrame:
+    """Rich-club connectivity curve: for degree thresholds k = 1, 2,
+    4, ... 2^max_k_log2, how densely the >k-degree vertices connect
+    to each other. One row per threshold with n_k >= 2:
+    (k, n_rich, e_rich, phi_ppm) where phi = 2*e / (n*(n-1)), floor
+    ppm — the classic web/citation-graph "do hubs club together"
+    diagnostic (Colizza et al. 2006, unnormalized phi).
+
+    Plan: degree join on both endpoints of the canonical edge frame,
+    then ONE pass: each edge/vertex contributes to every threshold
+    below its (min-)degree via a broadcast threshold explode —
+    #thresholds (~log max-degree) times the edge relation in the
+    aggregate's map side, no per-k jobs."""
+    npart = loop_partitions(edges.sparkSession)
+    und = canonical_edges(edges, npart).persist()
+    deg = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("kv"))
+    )
+    ks = F.explode(
+        F.array(*[F.lit(1 << i) for i in range(max_k_log2 + 1)])
+    ).alias("k")
+
+    nk = (
+        deg.select("kv", ks)
+        .filter(F.col("kv") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rich"))
+    )
+    ek = (
+        und.join(deg.withColumnRenamed("v", "src").withColumnRenamed("kv", "ka"), "src")
+        .join(deg.withColumnRenamed("v", "dst").withColumnRenamed("kv", "kb"), "dst")
+        .select(F.least("ka", "kb").alias("kmin"), ks)
+        .filter(F.col("kmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_rich"))
+    )
+    out = (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n_rich") >= 2)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_rich",
+            F.coalesce("e_rich", F.lit(0)).cast("long").alias("e_rich"),
+            F.expr(
+                "coalesce(e_rich, 0) * 2000000 div (n_rich * (n_rich - 1))"
+            ).alias("phi_ppm"),
+        )
+    )
+    res = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return res

@@ -1584,6 +1584,39 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {threshold}
 """.strip()
 
 
+def containment_sql(min_pct: int = 60, max_shingle_freq: int = 1000) -> str:
+    """Mirrors operators/dedup.py::containment_pairs — directed
+    shingle-containment verdicts, exact integer percent."""
+    return f"""
+WITH {_SHINGLE_CTE},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_shingle_freq}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS inter
+    FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+joined AS (
+    SELECT doc_a, doc_b, inter, sa.sz AS sza, sb.sz AS szb
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+directed AS (
+    SELECT doc_a AS doc_inner, doc_b AS doc_outer, inter, sza AS sz_inner
+    FROM joined
+    UNION ALL
+    SELECT doc_b AS doc_inner, doc_a AS doc_outer, inter, szb AS sz_inner
+    FROM joined
+)
+SELECT doc_inner, doc_outer, inter, sz_inner,
+       inter * 100 // sz_inner AS cont_pct
+FROM directed WHERE inter * 100 // sz_inner >= {min_pct}
+""".strip()
+
+
 def minhash_lsh_sql() -> str:
     mins = ",\n           ".join(
         "min(" + _h64(f"'{i}:' || shingle") + f") AS h{i}"
@@ -1725,6 +1758,32 @@ SELECT lang,
          + ((total_tokens % n_docs) * 1000000) // n_docs AS avg_utokens,
        total_chars
 FROM agg
+""".strip()
+
+
+def rich_club_sql(raw_sql: str, max_k_log2: int = 12) -> str:
+    """Mirrors operators/motifs.py::rich_club."""
+    return f"""
+WITH raw AS ({raw_sql}),
+clean AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS kv FROM (
+            SELECT a AS v FROM clean UNION ALL SELECT b AS v FROM clean
+        ) GROUP BY v),
+ks AS (SELECT CAST(power(2, i) AS BIGINT) AS k
+       FROM range({max_k_log2 + 1}) t(i)),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+       FROM deg, ks WHERE kv > k GROUP BY k),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_rich
+       FROM (SELECT least(da.kv, db.kv) AS kmin FROM clean
+             JOIN deg da ON da.v = clean.a JOIN deg db ON db.v = clean.b),
+            ks
+       WHERE kmin > k GROUP BY k)
+SELECT CAST(nk.k AS BIGINT) AS k, n_rich,
+       coalesce(e_rich, 0) AS e_rich,
+       coalesce(e_rich, 0) * 2000000 // (n_rich * (n_rich - 1)) AS phi_ppm
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE n_rich >= 2
 """.strip()
 
 
