@@ -614,6 +614,20 @@ def _q_community_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_louvain_level2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        contract_communities,
+        louvain_move_rounds,
+        louvain_move_rounds_weighted,
+    )
+
+    edges = testdata.derived_pagerank_edges(spark, sf_dir)
+    sup = contract_communities(
+        edges, louvain_move_rounds(edges, num_rounds=LOUVAIN_ROUNDS)
+    )
+    return louvain_move_rounds_weighted(sup, num_rounds=LOUVAIN_ROUNDS)
+
+
 PPR_PUSH_ROUNDS = 6
 
 
@@ -1233,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelprop": _q_labelprop,
         "graph_louvain_move": _q_louvain_move,
         "graph_community_contract": _q_community_contract,
+        "graph_louvain_level2": _q_louvain_level2,
         "graph_ppr_push": _q_ppr_push,
         "graph_sweep_cut": _q_sweep_cut,
         "graph_scc": _q_scc,
@@ -1430,6 +1445,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_community_contract": oracles.community_contract_sql(
             testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS
+        ),
+        "graph_louvain_level2": oracles.louvain_level2_sql(
+            testdata.derived_pagerank_edges_sql(), LOUVAIN_ROUNDS, LOUVAIN_ROUNDS
         ),
         "graph_ppr_push": oracles.ppr_push_sql(
             testdata.derived_pagerank_edges_sql(), num_rounds=PPR_PUSH_ROUNDS

@@ -207,6 +207,26 @@ def main() -> None:
     extra["coreness_sec"] = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
+    # round-6 operators, same out-of-headline convention
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        louvain_move_rounds,
+    )
+
+    t0 = time.perf_counter()
+    louvain_move_rounds(pe, num_rounds=2).count()
+    extra["louvain_2rounds_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
+    from wedge_parallel_triangle_counting_spark.operators.localcluster import (
+        ppr_push,
+        sweep_cut,
+    )
+
+    t0 = time.perf_counter()
+    sweep_cut(pe, ppr_push(pe, num_rounds=6)).count()
+    extra["ppr_sweep_sec"] = round(time.perf_counter() - t0, 4)
+    spark.catalog.clearCache()
+
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(

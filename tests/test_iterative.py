@@ -680,3 +680,40 @@ def test_sweep_cut_finds_planted_clique_cut(spark):
     assert best.cut == 1
     prefix = {r.v for r in sweep if r.rank <= best.rank}
     assert prefix == set(range(8))
+
+
+def test_louvain_level2_coarsens_and_improves_modularity(spark):
+    """Full multilevel pipeline on a 3-clique-cluster graph: level-2
+    communities are no finer than level-1 groups projected down, and
+    modularity does not degrade."""
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.community import (
+        contract_communities,
+        louvain_move_rounds,
+        louvain_move_rounds_weighted,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.quality import modularity
+
+    edges = []
+    for base in (0, 10, 20):  # three 5-cliques in a ring of bridges
+        ids = list(range(base, base + 5))
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges += [(0, 10), (10, 20), (20, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    lvl1 = louvain_move_rounds(df, num_rounds=2)
+    sup = contract_communities(df, lvl1)
+    lvl2 = louvain_move_rounds_weighted(sup, num_rounds=2)
+    # project level-2 labels down to original vertices
+    flat = (
+        lvl1.withColumnRenamed("community", "c1")
+        .join(lvl2.withColumnRenamed("v", "c1"), "c1")
+        .select("v", "community")
+    )
+    q1 = modularity(df, lvl1).collect()[0].q_ppm
+    q2 = modularity(df, flat).collect()[0].q_ppm
+    assert q2 >= q1 > 0
+    # supergraph loop weight equals intra-community edges: conservation
+    total_w = sup.agg(F.sum("weight")).first()[0]
+    assert total_w == len(edges)

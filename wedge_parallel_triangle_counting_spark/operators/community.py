@@ -160,3 +160,98 @@ def contract_communities(
             "weight",
         )
     )
+
+
+def louvain_move_rounds_weighted(
+    wedges: DataFrame, num_rounds: int = 2
+) -> DataFrame:
+    """The weighted local-move phase over a CONTRACTED supergraph
+    [ca, cb, weight] (ca <= cb, loop rows allowed) — level 2+ of
+    multilevel Louvain. Same deterministic recursion as
+    louvain_move_rounds with degree -> strength:
+
+        s(v)   = sum of incident non-loop weight + 2 * loop weight
+        2m     = sum_v s(v)
+        k_vc   = non-loop weight from v into c (loops move WITH v, so
+                 they cancel in every gain comparison and are excluded,
+                 the standard Louvain convention)
+        score  = 2m * k_vc - s(v) * sigma_adj(c)   (decimal(38,0))
+
+    Returns [v: long, community: long] over the supergraph's vertex
+    ids. Weights are exact integers (contraction counts edges), so the
+    whole recursion stays engine-exact."""
+    spark = wedges.sparkSession
+
+    loops = wedges.filter(F.col("ca") == F.col("cb")).select(
+        F.col("ca").alias("v"), (F.col("weight") * 2).alias("w2")
+    )
+    nl = wedges.filter(F.col("ca") != F.col("cb"))
+    sym = nl.select(
+        F.col("ca").alias("src"), F.col("cb").alias("dst"), "weight"
+    ).unionByName(
+        nl.select(
+            F.col("cb").alias("src"), F.col("ca").alias("dst"), "weight"
+        )
+    )
+    strength = (
+        sym.select(F.col("src").alias("v"), F.col("weight").alias("w2"))
+        .unionByName(loops)
+        .groupBy("v")
+        .agg(F.sum("w2").cast("long").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+    m2 = strength.agg(F.sum("sv")).first()[0] or 0
+
+    comm = strength.select("v", F.col("v").alias("community"))
+    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("c"))
+    for _ in range(num_rounds):
+        cs = (
+            comm.join(strength, "v")
+            .groupBy(F.col("community").alias("c"))
+            .agg(F.sum("sv").alias("sigma"))
+        )
+        rhs = comm.select(F.col("v").alias("u"), F.col("community").alias("c"))
+        kvc = (
+            sym.join(F.broadcast(rhs), sym.dst == F.col("u"))
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.sum("weight").cast("long").alias("kvc"))
+        )
+        cur = comm.select("v", F.col("community").alias("cv"))
+        scored = (
+            kvc.join(F.broadcast(strength), "v")
+            .join(F.broadcast(cur), "v")
+            .join(F.broadcast(cs), "c")
+            .withColumn(
+                "sig_adj",
+                F.col("sigma")
+                - F.when(F.col("c") == F.col("cv"), F.col("sv")).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "score",
+                F.lit(m2).cast(_DEC) * F.col("kvc").cast(_DEC)
+                - F.col("sv").cast(_DEC) * F.col("sig_adj").cast(_DEC),
+            )
+        )
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "v",
+                F.when(F.col("score") > 0, F.col("c"))
+                .otherwise(F.col("v"))
+                .alias("cnew"),
+            )
+        )
+        # loop-only vertices (no non-loop neighbor -> no kvc row) keep
+        # their current community
+        comm = (
+            comm.join(best, "v", "left")
+            .select("v", F.coalesce("cnew", "community").alias("community"))
+            .localCheckpoint(eager=False)
+        )
+    comm = comm.select(
+        F.col("v").cast("long").alias("v"),
+        F.col("community").cast("long").alias("community"),
+    )
+    comm.count()
+    return comm

@@ -1223,6 +1223,76 @@ def louvain_move_sql(raw_sql: str, num_rounds: int = 2) -> str:
     )
 
 
+def louvain_level2_sql(
+    raw_sql: str, num_rounds: int = 2, num_rounds2: int = 2
+) -> str:
+    """Mirrors louvain_move_rounds -> contract_communities ->
+    louvain_move_rounds_weighted (multilevel level 2): strength
+    s(v) = non-loop incident weight + 2*loop weight, loops excluded
+    from k_vc, keep-current fallback for loop-only vertices."""
+    sup = community_contract_sql(raw_sql, num_rounds)
+    ctes = [
+        f"sup AS ({sup})",
+        "lp AS (SELECT ca AS v, CAST(2 * weight AS BIGINT) AS w2 "
+        "FROM sup WHERE ca = cb)",
+        "nl AS (SELECT ca, cb, weight FROM sup WHERE ca <> cb)",
+        "wsym AS (SELECT ca AS src, cb AS dst, weight FROM nl "
+        "UNION ALL SELECT cb AS src, ca AS dst, weight FROM nl)",
+        "wstr AS (SELECT v, CAST(sum(w2) AS BIGINT) AS sv FROM ("
+        "SELECT src AS v, weight AS w2 FROM wsym "
+        "UNION ALL SELECT v, w2 FROM lp) GROUP BY v)",
+        "wm AS (SELECT CAST(coalesce(sum(sv), 0) AS HUGEINT) AS m2 FROM wstr)",
+        "w0 AS (SELECT v, v AS community FROM wstr)",
+    ]
+    for t in range(1, num_rounds2 + 1):
+        prev = f"w{t - 1}"
+        ctes.append(
+            f"wcs{t} AS (SELECT p.community AS c, "
+            f"CAST(sum(s.sv) AS HUGEINT) AS sigma "
+            f"FROM {prev} p JOIN wstr s USING (v) GROUP BY p.community)"
+        )
+        ctes.append(
+            f"wsc{t} AS (SELECT e.src AS v, p.community AS c, "
+            f"CAST(sum(e.weight) AS HUGEINT) AS kvc "
+            f"FROM wsym e JOIN {prev} p ON p.v = e.dst "
+            f"GROUP BY e.src, p.community)"
+        )
+        ctes.append(
+            f"""wbest{t} AS (
+            SELECT v, CASE WHEN score > 0 THEN c ELSE v END AS cnew
+            FROM (
+                SELECT v, c, score,
+                       row_number() OVER (
+                           PARTITION BY v ORDER BY score DESC, c ASC
+                       ) AS rn
+                FROM (
+                    SELECT k.v, k.c,
+                           wm.m2 * k.kvc
+                             - CAST(s.sv AS HUGEINT)
+                               * (cs.sigma - CASE WHEN k.c = p.community
+                                             THEN s.sv ELSE 0 END) AS score
+                    FROM wsc{t} k
+                    JOIN wstr s ON s.v = k.v
+                    JOIN {prev} p ON p.v = k.v
+                    JOIN wcs{t} cs ON cs.c = k.c
+                    CROSS JOIN wm
+                )
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT p.v, "
+            f"coalesce(b.cnew, p.community) AS community "
+            f"FROM {prev} p LEFT JOIN wbest{t} b ON b.v = p.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(v AS BIGINT) AS v, "
+        f"CAST(community AS BIGINT) AS community FROM w{num_rounds2}"
+    )
+
+
 def _ppr_push_ctes(
     raw_sql: str,
     alpha_num: int,
