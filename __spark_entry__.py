@@ -1019,6 +1019,14 @@ def _q_events_funnel(spark, sf_dir):
     return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_retention(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_vocab_growth(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         vocab_growth,
@@ -1278,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_containment,
         "text_vocab_growth": _q_vocab_growth,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "graph_rich_club": _q_rich_club,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
@@ -1518,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": oracles.containment_sql(min_pct=60),
         "text_vocab_growth": oracles.vocab_growth_sql(bucket_size=50),
         "events_funnel": oracles.funnel_sql(),
+        "events_retention": oracles.retention_sql(),
         "graph_rich_club": oracles.rich_club_sql(
             testdata.derived_pagerank_edges_sql()
         ),

@@ -483,3 +483,26 @@ def test_funnel_monotone_and_exact_on_tiny_events(spark):
     assert [out[k].users for k in (1, 2, 3)] == [3, 1, 1]
     assert out[2].total_lag_us == 5_000_000
     assert out[3].total_lag_us == 9_000_000
+
+
+def test_retention_cohorts_exact_on_tiny_events(spark):
+    from datetime import datetime, timedelta
+
+    from wedge_parallel_triangle_counting_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    w0 = datetime(2026, 1, 8)  # epoch week boundary-agnostic fixture
+    rows = []
+    # user 1: active weeks 0, 1, 3 ; user 2: weeks 0, 1 ; user 3: week 1
+    for u, weeks in ((1, (0, 1, 3)), (2, (0, 1)), (3, (1,))):
+        for k in weeks:
+            rows.append((u, w0 + timedelta(weeks=k), "view"))
+            rows.append((u, w0 + timedelta(weeks=k, hours=2), "click"))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    rows_out = retention_cohorts(df).collect()
+    min0 = min(r.cohort_week for r in rows_out)
+    out = {
+        (r.cohort_week - min0, r.week_offset): r.active_users for r in rows_out
+    }
+    assert out == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1}

@@ -1893,6 +1893,24 @@ def funnel_sql(stages: tuple[str, ...] = ("view", "click", "purchase")) -> str:
     )
 
 
+def retention_sql(week_seconds: int = 604_800) -> str:
+    """Mirrors streaming/events.py::retention_cohorts — exact integer
+    epoch-week arithmetic."""
+    return f"""
+WITH ev AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch(ts) AS BIGINT) // {week_seconds} AS week
+    FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(e.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM ev e JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+""".strip()
+
+
 def vocab_growth_sql(bucket_size: int = 50) -> str:
     """Mirrors operators/textstats.py::vocab_growth."""
     return rf"""

@@ -231,3 +231,34 @@ def funnel(events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purch
         )
         out = stage_row if out is None else out.unionByName(stage_row)
     return out
+
+
+def retention_cohorts(events: DataFrame, week_seconds: int = 604_800) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted in each later week they were active. Returns
+    (cohort_week, week_offset, active_users) — cohort_week the epoch
+    week (unix_seconds div 604800) of the user's first event,
+    week_offset >= 0 the activity week relative to it. The
+    top-left-triangle retention matrix every analytics stack ships.
+
+    Exact integer week arithmetic on both engines (no timezone or
+    date-truncation semantics to disagree on). Scale shape: one
+    user-keyed min-agg for cohorts + one distinct (user, week)
+    activity relation joined co-partitioned on user_id; output
+    cardinality = O(weeks^2)."""
+    ev = events.select(
+        "user_id",
+        F.expr(f"unix_seconds(CAST(ts AS TIMESTAMP)) div {week_seconds}").alias(
+            "week"
+        ),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("active_users"))
+    )
