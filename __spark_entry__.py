@@ -1035,6 +1035,20 @@ def _q_vocab_growth(spark, sf_dir):
     return vocab_growth(_docs(spark, sf_dir), bucket_size=50)
 
 
+def _q_lang_confusion(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        lang_confusion,
+    )
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+def _q_novelty(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir))
+
+
 def _q_containment(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.dedup import (
         containment_pairs,
@@ -1284,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "dedup_semantic": _q_semantic_dedup,
         "dedup_containment": _q_containment,
+        "text_novelty": _q_novelty,
+        "text_lang_confusion": _q_lang_confusion,
         "text_vocab_growth": _q_vocab_growth,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
@@ -1525,6 +1541,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_semantic": oracles.semantic_dedup_sql(threshold=0.4),
         "dedup_containment": oracles.containment_sql(min_pct=60),
+        "text_novelty": oracles.novelty_sql(),
+        "text_lang_confusion": oracles.lang_confusion_sql(),
         "text_vocab_growth": oracles.vocab_growth_sql(bucket_size=50),
         "events_funnel": oracles.funnel_sql(),
         "events_retention": oracles.retention_sql(),

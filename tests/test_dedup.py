@@ -257,3 +257,26 @@ def test_containment_catches_subset_doc(spark):
     assert {(r.doc_inner, r.doc_outer, r.cont_pct) for r in rows} == {(1, 0, 100)}
     # Jaccard at the same strictness misses it (6 shared / 58 union)
     assert ngram_jaccard_pairs(docs, n=3, threshold=0.9).count() == 0
+
+
+def test_novelty_scores_exact_on_tiny_corpus(spark):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        novelty_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # shingles: abc, bcd -> both novel
+            (1, "a b c d e"),     # abc, bcd seen; cde novel -> 1/3
+            (2, "x y"),           # too short: no row
+            (3, "a b c"),         # abc seen -> 0 novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+           for r in novelty_scores(docs).collect()}
+    assert out == {
+        0: (2, 2, 1_000_000),
+        1: (3, 1, 333_333),
+        3: (1, 0, 0),
+    }

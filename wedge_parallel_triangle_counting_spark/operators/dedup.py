@@ -445,3 +445,31 @@ def containment_pairs(
         .withColumn("cont_pct", F.expr("inter * 100 div sz_inner"))
         .filter(F.col("cont_pct") >= min_pct)
     )
+
+
+def novelty_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document shingle novelty in doc_id scan order: what
+    fraction of a document's token n-grams has never appeared in any
+    earlier document. Returns (doc_id, n_shingles, n_novel,
+    novelty_ppm) — floor ppm, exact integers. Low-novelty tails are
+    the template/boilerplate mass a curriculum or dedup pass drops;
+    docs with fewer than n tokens have no shingles and no row.
+
+    Plan: one (shingle -> min doc_id) aggregation + one join back —
+    the same two-pass shape as textstats.vocab_growth, corpus-sized,
+    no pairwise work."""
+    sh = shingles(docs, n=n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty_ppm", F.expr("n_novel * 1000000 div n_shingles"))
+    )

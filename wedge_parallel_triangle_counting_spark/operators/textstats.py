@@ -581,3 +581,24 @@ def vocab_growth(
         .withColumn("vocab_cum", F.sum("new_terms").over(w).cast("long"))
         .select("bucket", "docs_cum", "new_terms", "vocab_cum")
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    labeled `lang` column: (lang_true, lang_pred, n_docs) — the
+    quality-monitoring rollup that tells you when the heuristic
+    drifts per stratum. NULL labels coalesce to '<null>' (same
+    sentinel convention as stratified_sample). One map + one
+    #langs²-cardinality aggregation."""
+    pred = lang_id(docs)
+    truth = docs.select(
+        "doc_id",
+        F.coalesce(F.col("lang").cast("string"), F.lit("<null>")).alias(
+            "lang_true"
+        ),
+    )
+    return (
+        truth.join(pred.select("doc_id", "lang_pred"), "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

@@ -1654,6 +1654,23 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {threshold}
 """.strip()
 
 
+def novelty_sql() -> str:
+    """Mirrors operators/dedup.py::novelty_scores (n=3 shingles, the
+    shared shingle CTE)."""
+    return f"""
+WITH {_SHINGLE_CTE},
+firstd AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000000 // CAST(count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN firstd USING (shingle)
+GROUP BY sh.doc_id
+""".strip()
+
+
 def containment_sql(min_pct: int = 60, max_shingle_freq: int = 1000) -> str:
     """Mirrors operators/dedup.py::containment_pairs — directed
     shingle-containment verdicts, exact integer percent."""
@@ -1966,6 +1983,19 @@ WITH scored AS (
 )
 SELECT doc_id, {lang_expr} AS lang_pred, CAST({score_expr} AS BIGINT) AS lang_score
 FROM scored
+""".strip()
+
+
+def lang_confusion_sql() -> str:
+    """Mirrors operators/textstats.py::lang_confusion — lang_id_sql's
+    prediction joined to the coalesced truth label, counted."""
+    return f"""
+WITH pred AS ({lang_id_sql()})
+SELECT coalesce(CAST(d.lang AS VARCHAR), '<null>') AS lang_true,
+       p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
 """.strip()
 
 
