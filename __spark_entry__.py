@@ -1195,6 +1195,27 @@ def _q_streaming_user_stats(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_funnel(spark, sf_dir):
+    # stateful streaming funnel (event-buffer state machine, exact
+    # under any batch split); oracle = the per-user batch reach chain
+    import os
+    import shutil
+    import tempfile
+
+    from wedge_parallel_triangle_counting_spark.streaming.funnelstate import (
+        run_streaming_funnel,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_funnel_")
+    src_dir = f"{tmp}/events"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    try:
+        return run_streaming_funnel(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_streaming_attribution(spark, sf_dir):
     # stream-stream inner join (view->click attribution) on a real
     # availableNow replay; oracle = the batch join over the same file
@@ -1303,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_growth": _q_vocab_growth,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "streaming_funnel": _q_streaming_funnel,
         "graph_rich_club": _q_rich_club,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
@@ -1546,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "text_vocab_growth": oracles.vocab_growth_sql(bucket_size=50),
         "events_funnel": oracles.funnel_sql(),
         "events_retention": oracles.retention_sql(),
+        "streaming_funnel": oracles.funnel_users_sql(),
         "graph_rich_club": oracles.rich_club_sql(
             testdata.derived_pagerank_edges_sql()
         ),

@@ -613,3 +613,56 @@ def test_streaming_attribution_split_files_same_answer(spark, tmp_path):
         )
     )
     assert split == single
+
+
+def test_streaming_funnel_exact_under_out_of_order_batches(spark, tmp_path):
+    """The event-buffer state machine is a pure function of the event
+    SET: a late 'view' arriving in batch 2 with an EARLIER timestamp
+    than the already-seen click must retroactively qualify that click.
+    Stream over two time-disordered files == batch chain over the
+    union."""
+    import shutil
+    from datetime import datetime
+
+    from wedge_parallel_triangle_counting_spark.streaming.funnelstate import (
+        funnel_users_batch,
+        run_streaming_funnel,
+    )
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # batch 1: user 7's click AND purchase arrive first (no view yet),
+    # user 9 views only
+    a = spark.createDataFrame(
+        [(1, t(10), 7, "click", 0.0, ""), (2, t(20), 7, "purchase", 0.0, ""),
+         (3, t(0), 9, "view", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    # batch 2: user 7's LATE view with ts BEFORE the click
+    b = spark.createDataFrame(
+        [(4, t(5), 7, "view", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    events_dir = tmp_path / "events_fn"
+    events_dir.mkdir()
+    for i, df in enumerate([a, b]):
+        d = tmp_path / f"f{i}"
+        df.coalesce(1).write.parquet(str(d))
+        shutil.copy(next(d.glob("part-*.parquet")), events_dir / f"part-{i:03d}.parquet")
+
+    got = {
+        r.user_id: (r.s1_us, r.s2_us, r.s3_us)
+        for r in run_streaming_funnel(
+            spark,
+            str(events_dir),
+            str(tmp_path / "ck_fn"),
+            max_files_per_trigger=1,  # force 2 micro-batches
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.s1_us, r.s2_us, r.s3_us)
+        for r in funnel_users_batch(a.unionByName(b)).collect()
+    }
+    assert got == want
+    # and the late view really did change the verdict: full chain
+    assert got[7][0] > 0 and got[7][1] > 0 and got[7][2] > 0
+    assert got[9] == (got[9][0], -1, -1)

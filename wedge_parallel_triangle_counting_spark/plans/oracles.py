@@ -1910,6 +1910,36 @@ def funnel_sql(stages: tuple[str, ...] = ("view", "click", "purchase")) -> str:
     )
 
 
+def funnel_users_sql() -> str:
+    """Mirrors streaming/funnelstate.py::funnel_users_batch (and the
+    streaming state machine, which equals it): per-user min-ts reach
+    chain in absolute microseconds, -1 sentinels. Spark's session TZ
+    is UTC, so unix_micros(cast NTZ) == DuckDB epoch_us(naive)."""
+    return """
+WITH base AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+r1 AS (SELECT user_id, min(ts_us) AS s1 FROM base
+       WHERE event_type = 'view' GROUP BY user_id),
+r2 AS (SELECT b.user_id, min(b.ts_us) AS s2
+       FROM base b JOIN r1 r USING (user_id)
+       WHERE b.event_type = 'click' AND b.ts_us >= r.s1
+       GROUP BY b.user_id),
+r3 AS (SELECT b.user_id, min(b.ts_us) AS s3
+       FROM base b JOIN r2 r USING (user_id)
+       WHERE b.event_type = 'purchase' AND b.ts_us >= r.s2
+       GROUP BY b.user_id),
+u AS (SELECT DISTINCT user_id FROM base)
+SELECT u.user_id,
+       CAST(coalesce(r1.s1, -1) AS BIGINT) AS s1_us,
+       CAST(coalesce(r2.s2, -1) AS BIGINT) AS s2_us,
+       CAST(coalesce(r3.s3, -1) AS BIGINT) AS s3_us
+FROM u LEFT JOIN r1 USING (user_id) LEFT JOIN r2 USING (user_id)
+       LEFT JOIN r3 USING (user_id)
+""".strip()
+
+
 def retention_sql(week_seconds: int = 604_800) -> str:
     """Mirrors streaming/events.py::retention_cohorts — exact integer
     epoch-week arithmetic."""
