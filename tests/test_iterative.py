@@ -607,7 +607,7 @@ def test_contract_communities_conserves_edges(spark):
     }
 
 
-def _ppr_replay(edge_list, seed, rounds, an=15, ad=100, eps_inv=10_000):
+def _ppr_replay(edge_list, seed, rounds, an=15, ad=100, eps_deg_factor=10_000):
     """Pure-python replay of localcluster.py::ppr_push."""
     UNIT = 10**12
     sym = {}
@@ -616,7 +616,7 @@ def _ppr_replay(edge_list, seed, rounds, an=15, ad=100, eps_inv=10_000):
             sym.setdefault(a, set()).add(b)
             sym.setdefault(b, set()).add(a)
     deg = {v: len(ns) for v, ns in sym.items()}
-    epsu = UNIT // eps_inv
+    epsu = max(1, UNIT // (eps_deg_factor * deg[seed]))
     p, r = {}, {seed: UNIT}
     for _ in range(rounds):
         frontier = {v: rv for v, rv in r.items() if rv >= deg[v] * epsu}

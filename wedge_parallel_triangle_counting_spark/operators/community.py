@@ -124,13 +124,11 @@ def contract_communities(
     communities-sized, so every subsequent level is cheaper; this is
     why multilevel Louvain scales where flat algorithms do not.
     """
-    clean = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
+    from .checkpointing import loop_partitions
+    from .truss import canonical_edges
+
+    clean = canonical_edges(edges, loop_partitions(edges.sparkSession)).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
     )
     amap = assignment.select(
         F.col(v_col).alias("_v"), F.col(c_col).alias("_c")
@@ -179,8 +177,14 @@ def louvain_move_rounds_weighted(
 
     Returns [v: long, community: long] over the supergraph's vertex
     ids. Weights are exact integers (contraction counts edges), so the
-    whole recursion stays engine-exact."""
-    spark = wedges.sparkSession
+    whole recursion stays engine-exact. Broadcasts of the per-round
+    state/strength/sigma tables are gated on the same small-input
+    regime check as level 1 (loop_layout): one local-move level does
+    NOT necessarily shrink a web graph below broadcast limits."""
+    _, bcast_state = loop_layout(wedges)
+
+    def _side(df):
+        return F.broadcast(df) if bcast_state else df
 
     loops = wedges.filter(F.col("ca") == F.col("cb")).select(
         F.col("ca").alias("v"), (F.col("weight") * 2).alias("w2")
@@ -212,15 +216,15 @@ def louvain_move_rounds_weighted(
         )
         rhs = comm.select(F.col("v").alias("u"), F.col("community").alias("c"))
         kvc = (
-            sym.join(F.broadcast(rhs), sym.dst == F.col("u"))
+            sym.join(_side(rhs), sym.dst == F.col("u"))
             .groupBy(F.col("src").alias("v"), "c")
             .agg(F.sum("weight").cast("long").alias("kvc"))
         )
         cur = comm.select("v", F.col("community").alias("cv"))
         scored = (
-            kvc.join(F.broadcast(strength), "v")
-            .join(F.broadcast(cur), "v")
-            .join(F.broadcast(cs), "c")
+            kvc.join(_side(strength), "v")
+            .join(_side(cur), "v")
+            .join(_side(cs), "c")
             .withColumn(
                 "sig_adj",
                 F.col("sigma")

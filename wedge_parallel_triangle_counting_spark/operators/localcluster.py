@@ -11,8 +11,16 @@ spam-neighborhood mining, and targeted crawling on 10^12-edge webs.
 Determinism contract (everything exact integer, oracle-replayable):
 
 - probability mass in integer UNITs (1e12) — r(seed) = UNIT.
+- the push threshold is SEED-DEGREE-RELATIVE: EPSU =
+  max(1, UNIT // (eps_deg_factor * deg(seed))), i.e. the classic
+  eps = 1/(f*d_seed). The seed always fires (UNIT >= d_seed * EPSU
+  for any f >= 1) — a fixed eps would silently do NOTHING for a hub
+  seed with degree > 1/eps, exactly the seeds worth explaining on a
+  web graph — and the push support stays proportional to the seed's
+  own neighborhood (support ~ f*d_seed/alpha), local at any graph
+  size.
 - synchronous push rounds: every vertex v with r(v) >= kv * EPSU
-  (EPSU = UNIT // eps_inv) pushes SIMULTANEOUSLY:
+  pushes SIMULTANEOUSLY:
       p(v)     += r(v) * alpha_num // alpha_den
       spread    = r(v) - p_gain
       share     = spread // kv           (to each neighbor)
@@ -57,11 +65,13 @@ def ppr_push(
     seed: int | None = None,
     alpha_num: int = 15,
     alpha_den: int = 100,
-    eps_inv: int = 10_000,
+    eps_deg_factor: int = 10_000,
     num_rounds: int = 6,
 ) -> DataFrame:
     """Returns the sparse push state [v: long, p: long, r: long] in
-    UNITs after num_rounds synchronous pushes from `seed`."""
+    UNITs after num_rounds synchronous pushes from `seed`; the push
+    threshold is eps = 1/(eps_deg_factor * deg(seed)) — see module
+    docstring."""
     spark = edges.sparkSession
     npart = loop_partitions(spark)
     sym = build_sym_clustered(edges, npart, key="src").persist()
@@ -71,8 +81,12 @@ def ppr_push(
         .localCheckpoint(eager=True)
     )
     if seed is None:
-        seed = _seed_vertex(deg)
-    epsu = UNIT // eps_inv
+        row = deg.orderBy(F.desc("kv"), F.asc("v")).first()
+        seed, seed_deg = int(row["v"]), int(row["kv"])
+    else:
+        got = deg.filter(F.col("v") == seed).first()
+        seed_deg = int(got["kv"]) if got else 1
+    epsu = max(1, UNIT // (eps_deg_factor * seed_deg))
 
     state = spark.createDataFrame([(seed, 0, UNIT)], "v long, p long, r long")
     for _ in range(num_rounds):
@@ -138,13 +152,11 @@ def sweep_cut(
     (rows with a zero denominator — the prefix holding ALL graph
     volume — are dropped). The swept set is the p > 0 support, local
     by construction."""
+    from .truss import canonical_edges
+
     clean = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
+        canonical_edges(edges, loop_partitions(edges.sparkSession))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .persist()
     )
     deg = (

@@ -47,6 +47,7 @@ def pq_fit(
     num_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(codes, codebook): codes = [vec_id, m, code], codebook =
     [m, code, cq] with cq the integer-mean subspace centroid
@@ -61,7 +62,10 @@ def pq_fit(
     """
     from pyspark.sql.window import Window
 
-    dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+    if num_iters < 1:
+        raise ValueError("pq_fit needs num_iters >= 1")
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     ds = dim // m_sub
@@ -186,12 +190,17 @@ def ivf_pq_topk(
         .select("query_id", F.col("cid").alias("cluster"))
     )
 
-    codes, codebook = pq_fit(
-        emb, m_sub=m_sub, ks=ks, num_iters=pq_iters, id_col=id_col, vec_col=vec_col
-    )
-
     dim = emb.select(F.size(vec_col)).first()[0]
     ds = dim // m_sub
+    codes, codebook = pq_fit(
+        emb,
+        m_sub=m_sub,
+        ks=ks,
+        num_iters=pq_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
     qsubs = (
         emb.filter(F.col(id_col) < query_limit)
         .select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("q"))

@@ -1193,7 +1193,7 @@ def louvain_move_sql(raw_sql: str, num_rounds: int = 2) -> str:
             f"GROUP BY s.src, p.community)"
         )
         ctes.append(
-            f"""c{t} AS (
+            f"""c{t} AS MATERIALIZED (
             SELECT v, CASE WHEN score > 0 THEN c ELSE v END AS community
             FROM (
                 SELECT v, c, score,
@@ -1297,15 +1297,15 @@ def _ppr_push_ctes(
     raw_sql: str,
     alpha_num: int,
     alpha_den: int,
-    eps_inv: int,
+    eps_deg_factor: int,
     num_rounds: int,
 ) -> list[str]:
     """Shared CTE chain replaying operators/localcluster.py::ppr_push:
-    sparse integer-UNIT state, synchronous threshold pushes, exact
-    floor-division share/leftover split. Final state CTE is
+    sparse integer-UNIT state, seed-degree-relative threshold
+    (EPSU = max(1, UNIT // (f * deg(seed)))), synchronous pushes,
+    exact floor-division share/leftover split. Final state CTE is
     s{num_rounds}."""
     unit = 10**12
-    epsu = unit // eps_inv
     ctes = [
         f"raw AS ({raw_sql})",
         "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
@@ -1316,7 +1316,9 @@ def _ppr_push_ctes(
         )""",
         "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS kv "
         "FROM sym GROUP BY src)",
-        "seedv AS (SELECT v FROM deg ORDER BY kv DESC, v ASC LIMIT 1)",
+        "seedv AS (SELECT v, kv FROM deg ORDER BY kv DESC, v ASC LIMIT 1)",
+        f"epsv AS (SELECT greatest(1, {unit} // "
+        f"({eps_deg_factor} * kv)) AS e FROM seedv)",
         f"s0 AS (SELECT v, CAST(0 AS BIGINT) AS p, "
         f"CAST({unit} AS BIGINT) AS r FROM seedv)",
     ]
@@ -1329,7 +1331,7 @@ def _ppr_push_ctes(
             f"FROM (SELECT s.v, d.kv, "
             f"s.r * {alpha_num} // {alpha_den} AS p_add, s.r AS r_push "
             f"FROM {prev} s JOIN deg d USING (v) "
-            f"WHERE s.r >= d.kv * {epsu}))"
+            f"WHERE s.r >= d.kv * (SELECT e FROM epsv)))"
         )
         ctes.append(
             f"""s{t} AS MATERIALIZED (
@@ -1354,10 +1356,12 @@ def ppr_push_sql(
     raw_sql: str,
     alpha_num: int = 15,
     alpha_den: int = 100,
-    eps_inv: int = 10_000,
+    eps_deg_factor: int = 10_000,
     num_rounds: int = 6,
 ) -> str:
-    ctes = _ppr_push_ctes(raw_sql, alpha_num, alpha_den, eps_inv, num_rounds)
+    ctes = _ppr_push_ctes(
+        raw_sql, alpha_num, alpha_den, eps_deg_factor, num_rounds
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1369,7 +1373,7 @@ def sweep_cut_sql(
     raw_sql: str,
     alpha_num: int = 15,
     alpha_den: int = 100,
-    eps_inv: int = 10_000,
+    eps_deg_factor: int = 10_000,
     num_rounds: int = 6,
 ) -> str:
     """Mirrors operators/localcluster.py::sweep_cut composed over
@@ -1378,7 +1382,9 @@ def sweep_cut_sql(
     rank, leaves at its higher; out-of-sweep endpoint = +inf), exact
     floor-ppm conductance, zero-denominator prefixes dropped."""
     R = num_rounds
-    ctes = _ppr_push_ctes(raw_sql, alpha_num, alpha_den, eps_inv, num_rounds)
+    ctes = _ppr_push_ctes(
+        raw_sql, alpha_num, alpha_den, eps_deg_factor, num_rounds
+    )
     ctes += [
         f"swept AS (SELECT s.v, s.p, d.kv, s.p * 1000000 // d.kv AS q "
         f"FROM s{R} s JOIN deg d USING (v) WHERE s.p > 0)",
