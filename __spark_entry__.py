@@ -972,6 +972,12 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=5, query_limit=10, n_clusters=8, nprobe=2)
 
 
+def _q_kmeans_pp(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), k=8, num_iters=3, init="farthest")
+
+
 def _q_ivf_pq_topk(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.pq import ivf_pq_topk
 
@@ -1344,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
         "embedding_kmeans": _q_kmeans,
+        "embedding_kmeans_pp": _q_kmeans_pp,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
@@ -1574,6 +1581,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),
+        "embedding_kmeans_pp": oracles.kmeans_sql(
+            k=8, num_iters=3, init="farthest"
+        ),
         "ann_ivf_topk": oracles.ivf_topk_sql(
             k=5, query_limit=10, n_clusters=8, nprobe=2
         ),

@@ -280,3 +280,54 @@ def test_novelty_scores_exact_on_tiny_corpus(spark):
         1: (3, 1, 333_333),
         3: (1, 0, 0),
     }
+
+
+def test_kmeans_farthest_init_replay_and_quality(spark):
+    """Farthest-first seeding: numpy replay of the seed selection, and
+    on a planted 4-blob dataset the farthest init must land one seed
+    per blob (hash init generally doesn't — that's its point)."""
+    import numpy as np
+
+    from wedge_parallel_triangle_counting_spark.operators.kmeans import (
+        OFFSET,
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(31)
+    blobs = []
+    for c in range(4):
+        center = np.zeros(6)
+        center[c] = 50.0  # far-apart blob centers
+        blobs.append(center + 0.1 * rng.randn(12, 6))
+    vecs = np.vstack(blobs).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    asg = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df, k=4, num_iters=3, init="farthest").collect()
+    }
+    # every blob is one pure cluster
+    for c in range(4):
+        members = {asg[i] for i in range(c * 12, (c + 1) * 12)}
+        assert len(members) == 1, (c, members)
+    assert len({asg[c * 12] for c in range(4)}) == 4
+
+    # replay the seed selection in numpy (chain: smallest md5 first,
+    # then argmax of min distance, ties smaller id)
+    import hashlib
+
+    q = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64) + OFFSET
+    h = {
+        i: int(hashlib.md5(f"km:{i}".encode()).hexdigest()[:15], 16)
+        for i in range(len(vecs))
+    }
+    chosen = [min(range(len(vecs)), key=lambda i: (h[i], i))]
+    for _ in range(3):
+        dmin = [
+            min(int(((q[i] - q[c]) ** 2).sum()) for c in chosen)
+            for i in range(len(vecs))
+        ]
+        chosen.append(max(range(len(vecs)), key=lambda i: (dmin[i], -i)))
+    # the four chosen seeds span the four blobs
+    assert {c // 12 for c in chosen} == {0, 1, 2, 3}

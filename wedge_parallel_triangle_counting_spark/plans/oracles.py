@@ -2969,11 +2969,12 @@ GROUP BY a.doc_id, b.doc_id
 """.strip()
 
 
-def _kmeans_ctes(k: int, num_iters: int) -> list[str]:
+def _kmeans_ctes(k: int, num_iters: int, init: str = "hash") -> list[str]:
     """Shared CTE chain for kmeans_sql / ivf_topk_sql: quantize to
-    offset integers, smallest-md5 init, Lloyd assignments with
-    integer-mean centroid updates. Final assignment CTE is
-    asg{num_iters}."""
+    offset integers, seed (smallest-md5 "hash" init or deterministic
+    farthest-first "farthest" init, mirroring kmeans.py), Lloyd
+    assignments with integer-mean centroid updates. Final assignment
+    CTE is asg{num_iters}."""
     offset = 1 << 24
     ctes = [
         "dims AS (SELECT vec_id, i, "
@@ -2983,11 +2984,38 @@ def _kmeans_ctes(k: int, num_iters: int) -> list[str]:
         "seedh AS (SELECT vec_id, "
         "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h "
         "FROM embeddings)",
-        "init AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 "
-        f"AS cid FROM seedh ORDER BY h, vec_id LIMIT {k})",
-        "c0 AS (SELECT init.cid, d.i, d.val FROM init "
-        "JOIN dims d USING (vec_id))",
     ]
+    if init == "farthest":
+        ctes.append(
+            "fch0 AS (SELECT 0 AS cid, vec_id FROM seedh "
+            "ORDER BY h, vec_id LIMIT 1)"
+        )
+        for i in range(1, k):
+            ctes.append(
+                f"fd{i} AS (SELECT vec_id, min(dd) AS dmin FROM ("
+                f"SELECT d.vec_id, c.cid, "
+                f"sum((d.val - cd.val) * (d.val - cd.val)) AS dd "
+                f"FROM dims d CROSS JOIN fch{i - 1} c "
+                f"JOIN dims cd ON cd.vec_id = c.vec_id AND cd.i = d.i "
+                f"GROUP BY d.vec_id, c.cid) GROUP BY vec_id)"
+            )
+            ctes.append(
+                f"fch{i} AS MATERIALIZED (SELECT * FROM fch{i - 1} UNION ALL "
+                f"SELECT {i} AS cid, vec_id FROM "
+                f"(SELECT vec_id FROM fd{i} ORDER BY dmin DESC, vec_id ASC "
+                f"LIMIT 1))"
+            )
+        ctes.append(
+            f"c0 AS (SELECT f.cid, d.i, d.val FROM fch{k - 1} f "
+            f"JOIN dims d USING (vec_id))"
+        )
+    else:
+        ctes += [
+            "init AS (SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 "
+            f"AS cid FROM seedh ORDER BY h, vec_id LIMIT {k})",
+            "c0 AS (SELECT init.cid, d.i, d.val FROM init "
+            "JOIN dims d USING (vec_id))",
+        ]
     for t in range(1, num_iters + 1):
         ctes.append(
             f"dist{t} AS (SELECT v.vec_id, c.cid, "
@@ -3009,13 +3037,13 @@ def _kmeans_ctes(k: int, num_iters: int) -> list[str]:
     return ctes
 
 
-def kmeans_sql(k: int = 8, num_iters: int = 3) -> str:
+def kmeans_sql(k: int = 8, num_iters: int = 3, init: str = "hash") -> str:
     """Mirrors operators/kmeans.py::kmeans_assign: quantize to offset
-    integers, smallest-md5 init, num_iters Lloyd assignments with
+    integers, seed per `init`, num_iters Lloyd assignments with
     num_iters-1 integer-mean centroid updates between them. The
     nonnegative offset makes DuckDB's // equal Spark's div in the
     update; everything else is sums of int64."""
-    ctes = _kmeans_ctes(k, num_iters)
+    ctes = _kmeans_ctes(k, num_iters, init=init)
     return (
         "WITH "
         + ",\n".join(ctes)
