@@ -70,6 +70,14 @@ def _q_tri(strategy: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_tri_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_doulion,
+    )
+
+    return triangle_count_doulion(testdata.derived_edges(spark, sf_dir))
+
+
 def _q_wedge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedge_stats(testdata.derived_edges(spark, sf_dir))
 
@@ -1013,6 +1021,12 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_hub_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import hub_ego_stats
+
+    return hub_ego_stats(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.motifs import rich_club
 
@@ -1258,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_edge": _q_tri("edge"),
         "triangles_join": _q_tri("join"),
         "triangles_sampled": _q_triangles_sampled,
+        "triangles_doulion": _q_tri_doulion,
         "graph_local_clustering": _q_local_clustering,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
@@ -1332,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "streaming_funnel": _q_streaming_funnel,
         "graph_rich_club": _q_rich_club,
+        "graph_hub_ego": _q_hub_ego,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -1388,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_edge": tri,
         "triangles_join": tri,
         "triangles_sampled": oracles.triangles_sampled_sql(),
+        "triangles_doulion": oracles.doulion_sql(),
         "graph_local_clustering": oracles.local_clustering_sql(),
         "graph_coreness": oracles.coreness_sql(
             testdata.derived_pagerank_edges_sql(), CORENESS_ROUNDS
@@ -1577,6 +1594,9 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": oracles.retention_sql(),
         "streaming_funnel": oracles.funnel_users_sql(),
         "graph_rich_club": oracles.rich_club_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_hub_ego": oracles.hub_ego_sql(
             testdata.derived_pagerank_edges_sql()
         ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),

@@ -161,3 +161,44 @@ def test_luby_coloring_proper_and_total(spark):
     # (each round selects at least the min-priority active vertex)
     used = sorted(set(color.values()))
     assert used == list(range(1, used[-1] + 1))
+
+
+def test_doulion_keep_all_equals_exact(spark):
+    """p = 1 (keep_num == keep_den) keeps every edge, so the DOULION
+    estimate must equal the exact triangle count; and the deterministic
+    coin makes repeated runs identical."""
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.approx import (
+        triangle_count_doulion,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.triangles import (
+        triangle_count,
+    )
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    exact = triangle_count(df).collect()[0][0]
+    full = triangle_count_doulion(df, keep_num=10, keep_den=10).collect()[0]
+    assert full.sampled_triangles == exact == full.est_triangles
+    a = triangle_count_doulion(df, keep_num=3, keep_den=10).collect()[0]
+    b = triangle_count_doulion(df, keep_num=3, keep_den=10).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.est_triangles == a.sampled_triangles * 1000 // 27
+
+
+def test_hub_ego_stats_on_planted_shapes(spark):
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        hub_ego_stats,
+    )
+
+    edges = [(0, i) for i in range(1, 6)]          # star: hub 0, deg 5
+    edges += [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")  # K4 on 10..13
+    rows = {r.hub: r for r in hub_ego_stats(df, top_h=2).collect()}
+    star = rows[0]
+    assert (star.ego_n, star.ego_edges, star.density_ppm) == (6, 5, 333333)
+    # second hub is a K4 member (deg 3, min id 10): ego = whole clique
+    k4 = rows[10]
+    assert (k4.ego_n, k4.ego_edges, k4.density_ppm) == (4, 6, 1000000)

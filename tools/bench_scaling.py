@@ -21,8 +21,18 @@ preprocessing / copy / exec separately:
 - e2e   = prep + count with the fully distributed semi-join closure
 plus PageRank (5 iterations) wall time.
 
-Writes BENCH/BASELINE.md and prints a JSON summary.
-Usage: python tools/bench_scaling.py [N] [sf_dir] [reps] [amplify]
+Writes BENCH/LAST_SCALING.md (BENCH/BASELINE.md is hand-curated from
+the run history — this tool clobbered it once, r6-b) and prints a
+JSON summary.
+
+The two halves run sequentially in fresh JVMs; quiet windows on this
+shared host decay over the ~20-minute run, so whichever half runs
+SECOND systematically sees the dirtier phase (r4-f/r4-h/r6-a/r6-b all
+showed the second-running 4N half with a slower driver-side copy than
+the N half — ordering, not code). The optional 5th arg flips the
+order so runs can be counterbalanced: `nfirst` (default) or `hifirst`.
+
+Usage: python tools/bench_scaling.py [N] [sf_dir] [reps] [amplify] [order]
 """
 
 from __future__ import annotations
@@ -36,6 +46,8 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 AMPLIFY = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+ORDER = sys.argv[5] if len(sys.argv) > 5 else "nfirst"
+assert ORDER in ("nfirst", "hifirst"), ORDER
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = r"""
@@ -134,11 +146,15 @@ def eff(lo_sec: float, hi_sec: float) -> float:
 
 
 def main() -> None:
-    lo = run(N)
-    hi = run(4 * N)
+    if ORDER == "hifirst":
+        hi = run(4 * N)
+        lo = run(N)
+    else:
+        lo = run(N)
+        hi = run(4 * N)
     assert lo["triangles"] == hi["triangles"], "counts differ across parallelism!"
     summary = {
-        "sf_dir": SF_DIR, "N": N, "amplify": AMPLIFY,
+        "sf_dir": SF_DIR, "N": N, "amplify": AMPLIFY, "order": ORDER,
         "m_raw": lo["m_raw"], "m_oriented": lo["m_oriented"],
         "triangles": lo["triangles"],
         "e2e_sec": [lo["e2e_sec"], hi["e2e_sec"]],
@@ -157,8 +173,8 @@ def main() -> None:
     xe = summary["exec_efficiency"]
     pe_ = summary["pr_efficiency"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — two-parallelism scaling evidence
+    with open(os.path.join(REPO, "BENCH", "LAST_SCALING.md"), "w") as f:
+        f.write(f"""# BENCH/LAST_SCALING — most recent scaling run (raw; curated history in BASELINE.md/RUNS.md)
 
 North rule: throughput scaling efficiency >= 0.8 between cluster
 sizes N and 4N. No multi-executor cluster exists in this sandbox, so
@@ -205,7 +221,7 @@ ceiling that bounds this single-box proxy does not exist — each
 executor brings its own memory bandwidth, which is precisely the
 scaling argument for the 10^12-edge target.
 """)
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/LAST_SCALING.md")
 
 
 if __name__ == "__main__":

@@ -137,3 +137,60 @@ def triangle_count_sampled(
     closed = probes.join(canon, ["x", "y"], "left_semi").count()
     est = closed * total_w // n_sampled if n_sampled else 0
     return finish(est, closed, n_sampled)
+
+
+def triangle_count_doulion(
+    edges: DataFrame,
+    keep_num: int = 3,
+    keep_den: int = 10,
+) -> DataFrame:
+    """DOULION (Tsourakakis et al. 2009) edge-sampling triangle
+    estimate: keep each canonical undirected edge with probability
+    p = keep_num/keep_den via a DETERMINISTIC md5 coin (so both
+    engines sample the identical subgraph), count triangles on the
+    sparsified graph exactly, scale by 1/p^3. One row:
+    (kept_edges, sampled_triangles, est_triangles) with
+    est = tri * keep_den^3 div keep_num^3 — exact integer arithmetic,
+    E[est] = T.
+
+    The sparsifier is the at-scale lever the wedge-sampling estimator
+    (triangle_count_sampled) doesn't have: it shrinks the EDGE table
+    itself by p before any shuffle, so every downstream stage (orient,
+    adjacency build, closure) pays p× the I/O — the standard first
+    move on a 10^12-edge graph where even one full pass is expensive.
+    """
+    from .graph import normalize_edges
+    from .triangles import triangle_count
+
+    e = normalize_edges(edges).filter(F.col("src") != F.col("dst"))
+    und = e.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+    ).distinct()
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("doulion"),
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % keep_den
+    )
+    kept = und.filter(coin < keep_num).localCheckpoint(eager=True)
+    m_kept = kept.count()
+    tri = triangle_count(kept).collect()[0][0]
+    est = tri * keep_den**3 // keep_num**3
+    return kept.sparkSession.createDataFrame(
+        [(m_kept, tri, est)],
+        "kept_edges long, sampled_triangles long, est_triangles long",
+    )

@@ -151,7 +151,13 @@ def sweep_cut(
     p/deg ordering surrogate, cond_ppm the exact floor-ppm conductance
     (rows with a zero denominator — the prefix holding ALL graph
     volume — are dropped). The swept set is the p > 0 support, local
-    by construction."""
+    by construction.
+
+    The composed push->sweep query scans the edge table twice (push
+    needs the symmetric adjacency, the sweep the canonical undirected
+    form for vol/cut) — one extra edge-sized scan, not a pairwise
+    blow-up; at 100 TB cache the canonical frame if both phases run
+    back to back."""
     from .truss import canonical_edges
 
     clean = (

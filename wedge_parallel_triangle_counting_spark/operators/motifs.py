@@ -227,3 +227,63 @@ def rich_club(edges: DataFrame, max_k_log2: int = 12) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     und.unpersist()
     return res
+
+
+def hub_ego_stats(edges: DataFrame, top_h: int = 10) -> DataFrame:
+    """Ego-network statistics of the top_h highest-degree vertices
+    (ties to smaller id): one row per hub —
+    (hub, ego_n, ego_edges, density_ppm) where the ego is the hub
+    plus its neighbors, ego_edges counts canonical edges with BOTH
+    endpoints inside the ego (spokes included), and density =
+    2e/(n(n-1)) in exact floor ppm. The "is the hub a community or a
+    crossroads" diagnostic for web hubs.
+
+    Scale shape: the hub list is top_h rows (broadcast); ego
+    membership is the hubs' adjacency rows only; within-edges are two
+    equi-joins of the canonical edge table against that membership —
+    work bounded by the hubs' neighborhoods, not the graph."""
+    npart = loop_partitions(edges.sparkSession)
+    und = canonical_edges(edges, npart).persist()
+    deg = (
+        und.select(F.col("src").alias("v"))
+        .unionByName(und.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("kv"))
+    )
+    hubs = (
+        deg.orderBy(F.desc("kv"), F.asc("v"))
+        .limit(top_h)
+        .select(F.col("v").alias("hub"), F.col("kv").alias("hub_deg"))
+        .localCheckpoint(eager=True)
+    )
+    inc = und.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionByName(
+        und.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
+    )
+    members = (
+        inc.join(F.broadcast(hubs.select(F.col("hub").alias("v"), "hub")), "v")
+        .select("hub", F.col("nbr").alias("member"))
+        .unionByName(hubs.select("hub", F.col("hub").alias("member")))
+    )
+    m1 = members.select("hub", F.col("member").alias("src"))
+    m2 = members.select("hub", F.col("member").alias("dst"))
+    within = (
+        und.join(m1, "src")
+        .join(m2, ["hub", "dst"])
+        .groupBy("hub")
+        .agg(F.count(F.lit(1)).cast("long").alias("ego_edges"))
+    )
+    out = (
+        hubs.join(within, "hub", "left")
+        .select(
+            "hub",
+            (F.col("hub_deg") + 1).cast("long").alias("ego_n"),
+            F.coalesce("ego_edges", F.lit(0)).cast("long").alias("ego_edges"),
+            F.expr(
+                "coalesce(ego_edges, 0) * 2000000"
+                " div ((hub_deg + 1) * (hub_deg + 1 - 1))"
+            ).alias("density_ppm"),
+        )
+    )
+    res = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return res

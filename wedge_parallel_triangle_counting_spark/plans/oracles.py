@@ -67,6 +67,36 @@ JOIN und e3 ON e1.src = e3.src AND e2.dst = e3.dst
 """.strip()
 
 
+def doulion_sql(
+    raw_sql: str | None = None, keep_num: int = 3, keep_den: int = 10
+) -> str:
+    """Mirrors operators/approx.py::triangle_count_doulion — identical
+    md5 coin, join-formulation count on the kept subgraph, exact
+    1/p^3 scale-up."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+),
+kept AS (
+    SELECT src, dst FROM und
+    WHERE ('0x' || substr(md5('doulion:' || CAST(src AS VARCHAR) || ':'
+          || CAST(dst AS VARCHAR)), 1, 8))::BIGINT % {keep_den} < {keep_num}
+),
+tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS t FROM kept e1
+    JOIN kept e2 ON e1.dst = e2.src
+    JOIN kept e3 ON e1.src = e3.src AND e2.dst = e3.dst
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept) AS kept_edges,
+       t AS sampled_triangles,
+       t * {keep_den**3} // {keep_num**3} AS est_triangles
+FROM tri
+""".strip()
+
+
 def wedge_stats_sql(raw_sql: str | None = None) -> str:
     raw_sql = raw_sql or derived_edges_sql()
     return (
@@ -1877,6 +1907,39 @@ SELECT CAST(nk.k AS BIGINT) AS k, n_rich,
        coalesce(e_rich, 0) * 2000000 // (n_rich * (n_rich - 1)) AS phi_ppm
 FROM nk LEFT JOIN ek ON ek.k = nk.k
 WHERE n_rich >= 2
+""".strip()
+
+
+def hub_ego_sql(raw_sql: str, top_h: int = 10) -> str:
+    """Mirrors operators/motifs.py::hub_ego_stats."""
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+        FROM raw WHERE src <> dst),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS kv FROM (
+            SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und
+        ) GROUP BY v),
+hubs AS (SELECT v AS hub, kv AS hub_deg FROM deg
+         ORDER BY kv DESC, v ASC LIMIT {top_h}),
+inc AS (SELECT src AS v, dst AS nbr FROM und
+        UNION ALL SELECT dst AS v, src AS nbr FROM und),
+members AS (
+    SELECT h.hub, i.nbr AS member FROM inc i JOIN hubs h ON h.hub = i.v
+    UNION ALL SELECT hub, hub AS member FROM hubs
+),
+within AS (
+    SELECT m1.hub, CAST(count(*) AS BIGINT) AS ego_edges
+    FROM und e
+    JOIN members m1 ON m1.member = e.src
+    JOIN members m2 ON m2.hub = m1.hub AND m2.member = e.dst
+    GROUP BY m1.hub
+)
+SELECT h.hub,
+       CAST(h.hub_deg + 1 AS BIGINT) AS ego_n,
+       coalesce(w.ego_edges, 0) AS ego_edges,
+       coalesce(w.ego_edges, 0) * 2000000
+           // ((h.hub_deg + 1) * h.hub_deg) AS density_ppm
+FROM hubs h LEFT JOIN within w ON w.hub = h.hub
 """.strip()
 
 
