@@ -1027,6 +1027,47 @@ def _q_hub_ego(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hub_ego_stats(testdata.derived_pagerank_edges(spark, sf_dir))
 
 
+def _q_quadrilaterals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.motifs import (
+        quadrilateral_count,
+    )
+
+    return quadrilateral_count(testdata.derived_pagerank_edges(spark, sf_dir))
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.katz import (
+        katz_centrality_scaled,
+    )
+
+    # intermediate math is decimal(38,0) (overflow-safe); the query
+    # surface narrows to bigint for the cross-engine value hash —
+    # exact here, same convention as graph_anf
+    return katz_centrality_scaled(
+        testdata.derived_pagerank_edges(spark, sf_dir)
+    ).select("v", F.col("katz_scaled").cast("long").alias("katz_scaled"))
+
+
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import spam_mass
+
+    return spam_mass(
+        testdata.derived_pagerank_edges(spark, sf_dir),
+        trusted=PPR_SOURCES,
+        num_iters=PAGERANK_ITERS,
+    )
+
+
+def _q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    return resolve_redirects(testdata.derived_redirects(spark, sf_dir))
+
+
 def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.motifs import rich_club
 
@@ -1348,6 +1389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel": _q_streaming_funnel,
         "graph_rich_club": _q_rich_club,
         "graph_hub_ego": _q_hub_ego,
+        "graph_quadrilaterals": _q_quadrilaterals,
+        "graph_katz": _q_katz,
+        "pagerank_spam_mass": _q_spam_mass,
+        "ingest_resolve_redirects": _q_resolve_redirects,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
@@ -1598,6 +1643,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hub_ego": oracles.hub_ego_sql(
             testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_quadrilaterals": oracles.quadrilaterals_sql(
+            testdata.derived_pagerank_edges_sql()
+        ),
+        "graph_katz": oracles.katz_sql(testdata.derived_pagerank_edges_sql()),
+        "pagerank_spam_mass": oracles.spam_mass_sql(
+            testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS, PPR_SOURCES
+        ),
+        "ingest_resolve_redirects": oracles.redirects_sql(
+            testdata.derived_redirects_sql()
         ),
         "ann_cosine_topk": oracles.cosine_topk_sql(),
         "embedding_kmeans": oracles.kmeans_sql(k=8, num_iters=3),

@@ -287,3 +287,45 @@ def hub_ego_stats(edges: DataFrame, top_h: int = 10) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     und.unpersist()
     return res
+
+
+def quadrilateral_count(edges: DataFrame) -> DataFrame:
+    """Exact global 4-cycle (quadrilateral) count, not necessarily
+    induced — the square member of the motif family (triangles /
+    tetrahedra / butterflies). Uses the diagonal identity: a pair of
+    common neighbors {x, y} of an endpoint pair (u, w) closes the
+    4-cycle u-x-w-y, and every 4-cycle is counted once per diagonal:
+
+        quads = Σ_{u<w} C(cn(u, w), 2) / 2   (the sum is always even)
+
+    One row [endpoint_pairs, quads].
+
+    Plan: wedge self-join of the incidence relation (center v joins
+    its neighbor pairs), one groupBy on the endpoint pair, one global
+    agg — all JVM. The wedge relation is Σ_v C(d_v, 2) rows, the same
+    blow-up linkpred bounds with hub caps; for an exact global count
+    the Chiba-Nishizeki alternative (intersect adjacencies in
+    degeneracy order, O(α·m) work) trades this shuffle for the
+    triangles_edge-style array_intersect lane — at 100 TB run this
+    after a max-degree cap or on the hub-split adjacency, exactly as
+    the wedge triangle lane splits hubs."""
+    npart = loop_partitions(edges.sparkSession)
+    und = canonical_edges(edges, npart).persist()
+    inc = und.select(F.col("src").alias("v"), F.col("dst").alias("nbr")).unionByName(
+        und.select(F.col("dst").alias("v"), F.col("src").alias("nbr"))
+    )
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.nbr") < F.col("b.nbr")))
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    out = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("endpoint_pairs"),
+        F.expr("coalesce(sum(c * (c - 1) DIV 2), 0) DIV 2")
+        .cast("long")
+        .alias("quads"),
+    )
+    res = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return res

@@ -250,3 +250,50 @@ def _iterate(
     # released (same contract as triangle_count)
     ranks.count()
     return ranks
+
+
+def spam_mass(
+    edges: DataFrame,
+    trusted: list[int],
+    num_iters: int = 10,
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Garcia-Molina & Pedersen 2004 /
+    the TrustRank companion metric): how much of a page's PageRank is
+    NOT reachable from a trusted seed set.
+
+        spam_mass(v) = (PR(v) − PPR_T(v)) / PR(v)
+
+    where PPR_T is PageRank personalized to the trusted seeds. Pages
+    whose rank flows from trusted neighborhoods score ≤ 0; link-farm
+    pages score → 1. Returns [v, pr, trust, spam_mass].
+
+    Two pagerank() runs over ONE shared prepared edge table would save
+    a prep pass, but the runs are embarrassingly independent and each
+    already costs exactly one edge-sized shuffle per iteration — the
+    composition adds nothing new to the at-scale shuffle budget.
+
+    Hash-stability: pr and trust are rounded to `ndigits` FIRST (those
+    rounded doubles are the cross-engine-stable representation every
+    pagerank query already certifies), then the ratio is computed from
+    the rounded values and rounded again — both engines divide
+    bit-identical doubles, so the final column is equally stable.
+    """
+    pr = pagerank(edges, num_iters=num_iters, damping=damping)
+    tr = pagerank(
+        edges, num_iters=num_iters, damping=damping, sources=trusted
+    )
+    pr6 = F.round(F.col("pr"), ndigits)
+    tr6 = F.round(F.col("trust"), ndigits)
+    return (
+        pr.join(tr.select("v", F.col("pr").alias("trust")), "v")
+        .select(
+            "v",
+            pr6.alias("pr"),
+            tr6.alias("trust"),
+            F.when(pr6 > 0, F.round((pr6 - tr6) / pr6, ndigits)).alias(
+                "spam_mass"
+            ),
+        )
+    )

@@ -903,6 +903,30 @@ def pagerank_sql(
     )
 
 
+def spam_mass_sql(
+    raw_sql: str,
+    num_iters: int,
+    trusted: list[int],
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> str:
+    """Mirrors operators/pagerank.py::spam_mass — the two pagerank
+    unrollings as nested CTEs, ratio computed from the already-rounded
+    (cross-engine bit-identical) doubles."""
+    prq = pagerank_sql(raw_sql, num_iters, damping, ndigits)
+    trq = pagerank_sql(raw_sql, num_iters, damping, ndigits, sources=trusted)
+    return f"""
+WITH prq AS MATERIALIZED ({prq}),
+trq AS MATERIALIZED ({trq})
+SELECT prq.v,
+       prq.pr AS pr,
+       trq.pr AS trust,
+       CASE WHEN prq.pr > 0
+            THEN round((prq.pr - trq.pr) / prq.pr, {ndigits}) END AS spam_mass
+FROM prq JOIN trq ON trq.v = prq.v
+""".strip()
+
+
 def components_sql(raw_sql: str) -> str:
     """Component = min reachable vertex id, via recursive reachability
     closure — independent of our HashMin formulation."""
@@ -1941,6 +1965,113 @@ SELECT h.hub,
            // ((h.hub_deg + 1) * h.hub_deg) AS density_ppm
 FROM hubs h LEFT JOIN within w ON w.hub = h.hub
 """.strip()
+
+
+def quadrilaterals_sql(raw_sql: str) -> str:
+    """Mirrors operators/motifs.py::quadrilateral_count — the diagonal
+    identity quads = Σ C(cn,2) / 2 over endpoint pairs."""
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+),
+inc AS (
+    SELECT src AS v, dst AS nbr FROM und
+    UNION ALL SELECT dst AS v, src AS nbr FROM und
+),
+pairs AS MATERIALIZED (
+    SELECT a.nbr AS u, b.nbr AS w, CAST(count(*) AS BIGINT) AS c
+    FROM inc a JOIN inc b ON a.v = b.v AND a.nbr < b.nbr
+    GROUP BY a.nbr, b.nbr
+)
+SELECT CAST(count(*) AS BIGINT) AS endpoint_pairs,
+       CAST(coalesce(sum(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS quads
+FROM pairs
+""".strip()
+
+
+def katz_sql(raw_sql: str, num_iters: int = 4, beta_den: int = 8) -> str:
+    """Mirrors operators/katz.py::katz_centrality_scaled — walk counts
+    unrolled step by step, all arithmetic in HUGEINT (== Spark
+    decimal(38,0) widening)."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw)",
+        "vs AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "w0 AS (SELECT v, CAST(1 AS HUGEINT) AS w FROM vs)",
+    ]
+    for k in range(1, num_iters + 1):
+        ctes.append(
+            f"""w{k} AS MATERIALIZED (
+    SELECT e.dst AS v, CAST(sum(p.w) AS HUGEINT) AS w
+    FROM e JOIN w{k - 1} p ON p.v = e.src
+    GROUP BY e.dst
+)"""
+        )
+    terms = " + ".join(
+        f"coalesce(w{k}.w, 0) * CAST({beta_den ** (num_iters - k)} AS HUGEINT)"
+        for k in range(1, num_iters + 1)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN w{k} ON w{k}.v = vs.v" for k in range(1, num_iters + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vs.v, CAST({terms} AS BIGINT) AS katz_scaled
+FROM vs
+{joins}
+""".rstrip()
+    )
+
+
+def redirects_sql(raw_sql: str, rounds: int = 6) -> str:
+    """Mirrors operators/redirects.py::resolve_redirects — identical
+    pointer-doubling rounds unrolled as materialized CTEs (each round
+    references the previous state twice). Overshooting rounds are
+    no-ops: a done row jumps to itself."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        """red AS MATERIALIZED (
+    SELECT src, min(dst) AS dst FROM raw WHERE src <> dst GROUP BY src
+)""",
+        """univ AS MATERIALIZED (
+    SELECT DISTINCT v FROM (
+        SELECT src AS v FROM red UNION ALL SELECT dst AS v FROM red
+    )
+)""",
+        """s0 AS MATERIALIZED (
+    SELECT u.v,
+           coalesce(r.dst, u.v) AS nxt,
+           CAST(CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hops,
+           coalesce(r.dst, u.v) NOT IN (SELECT src FROM red) AS done
+    FROM univ u LEFT JOIN red r ON r.src = u.v
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"s{i - 1}"
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+    SELECT a.v,
+           CASE WHEN a.done THEN a.nxt ELSE b.nxt END AS nxt,
+           CASE WHEN a.done THEN a.hops ELSE a.hops + b.hops END AS hops,
+           CASE WHEN a.done THEN TRUE ELSE b.done END AS done
+    FROM {p} a JOIN {p} b ON b.v = a.nxt
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS url,
+       CASE WHEN done THEN nxt END AS final_url,
+       CASE WHEN done THEN hops END AS hops,
+       done AS resolved
+FROM s{rounds}
+""".rstrip()
+    )
 
 
 def funnel_sql(stages: tuple[str, ...] = ("view", "click", "purchase")) -> str:

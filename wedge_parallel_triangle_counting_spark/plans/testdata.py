@@ -112,6 +112,33 @@ def derived_directed_sparse_edges_sql() -> str:
     )
 
 
+# Functional redirect graph: URLs 0..996; a URL v redirects to the
+# pseudo-random (31v+7) mod 997 UNLESS v ≡ 0 (mod 3) — those are the
+# terminal pages (~1/3 of the universe). Chains are geometric (mean ~3
+# hops, tail well under 2^6), and the affine successor makes the
+# derivation a pure function of v so both engines build the identical
+# graph from the orders table regardless of row multiplicity.
+REDIR_MODULUS = 997
+
+
+def derived_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load(spark, sf_dir, "orders")
+    v = F.col("o_orderkey") % REDIR_MODULUS
+    return df.filter(v % 3 != 0).select(
+        v.alias("src"),
+        ((v * 31 + 7) % REDIR_MODULUS).alias("dst"),
+    )
+
+
+def derived_redirects_sql() -> str:
+    m = REDIR_MODULUS
+    return (
+        f"SELECT o_orderkey % {m} AS src, "
+        f"((o_orderkey % {m}) * 31 + 7) % {m} AS dst "
+        f"FROM orders WHERE (o_orderkey % {m}) % 3 <> 0"
+    )
+
+
 def derived_planted_core_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse background graph + a planted dense core on vertices
     0..36 (a lineitem slice folded mod 37 — near-clique): the graph
