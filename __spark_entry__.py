@@ -29,7 +29,7 @@ from wedge_parallel_triangle_counting_spark.operators.triangles import (
     triangle_count,
     wedge_stats,
 )
-from wedge_parallel_triangle_counting_spark.plans import oracles, testdata
+from wedge_parallel_triangle_counting_spark.plans import docpages, oracles, testdata
 
 PAGERANK_ITERS = 5
 LABELPROP_ITERS = 3
@@ -932,6 +932,108 @@ def _q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=3, k=100)
 
 
+def _q_hll_shingles(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.dedup import shingles
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    return hll_distinct(shingles(_docs(spark, sf_dir)), "shingle")
+
+
+def _q_countmin_tokens(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        countmin_estimates,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.textstats import _tokens
+    from pyspark.sql import functions as F
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    return countmin_estimates(toks, "tok", probe_k=20)
+
+
+def _q_mirror_hosts(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.mirrors import (
+        mirror_host_pairs,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_host_fingerprints,
+    )
+
+    return mirror_host_pairs(doc_host_fingerprints(spark, sf_dir))
+
+
+BM25_TERMS = ("join", "vector", "customer")
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=10)
+
+
+def _q_lang_propagate(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.langprop import (
+        propagate_labels,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_edges_snapshot,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(
+        F.col("doc_id").alias("v"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("lang")).alias(
+            "label"
+        ),
+    )
+    edges = doc_edges_snapshot(spark, sf_dir, (3, 5, 7))
+    return propagate_labels(nodes, edges, rounds=2)
+
+
+def _q_crawl_frontier(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_pages_with_frontier,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.ingest import crawl_frontier
+
+    return crawl_frontier(doc_pages_with_frontier(spark, sf_dir), k=50)
+
+
+def _q_edge_churn(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.temporal import (
+        edge_churn_by_group,
+        edge_snapshot_diff,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        _KS_B,
+        doc_edges_snapshot,
+    )
+
+    from pyspark.sql import functions as F
+
+    old = doc_edges_snapshot(spark, sf_dir, (3, 5, 7))
+    new = doc_edges_snapshot(spark, sf_dir, _KS_B)
+    diff = edge_snapshot_diff(old, new)
+    return edge_churn_by_group(diff, F.col("src") % 13, "grp")
+
+
+def _q_component_sizes(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        component_size_histogram,
+        connected_components,
+    )
+
+    labels = connected_components(
+        testdata.derived_directed_sparse_edges(spark, sf_dir)
+    )
+    return component_size_histogram(labels)
+
+
 def _q_token_percentiles(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         token_percentiles,
@@ -1407,6 +1509,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
         "sketch_kmv_shingles": _q_kmv_shingles,
+        "sketch_hll_shingles": _q_hll_shingles,
+        "sketch_countmin_tokens": _q_countmin_tokens,
+        "web_mirror_hosts": _q_mirror_hosts,
+        "text_bm25_topk": _q_bm25_topk,
+        "ingest_lang_propagate": _q_lang_propagate,
+        "ingest_crawl_frontier": _q_crawl_frontier,
+        "ingest_edge_churn": _q_edge_churn,
+        "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
@@ -1625,6 +1735,25 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "text_top_ngrams": oracles.top_ngrams_sql(k=100),
         "sketch_kmv_shingles": oracles.kmv_shingles_sql(k=256),
+        "sketch_hll_shingles": oracles.hll_shingles_sql(),
+        "sketch_countmin_tokens": oracles.countmin_tokens_sql(probe_k=20),
+        "web_mirror_hosts": oracles.mirror_hosts_sql(
+            docpages.doc_host_fingerprints_sql()
+        ),
+        "text_bm25_topk": oracles.bm25_topk_sql(BM25_TERMS, k=10),
+        "ingest_lang_propagate": oracles.lang_propagate_sql(
+            docpages.doc_edges_snapshot_sql((3, 5, 7)), rounds=2
+        ),
+        "ingest_crawl_frontier": oracles.crawl_frontier_sql(
+            docpages.frontier_links_sql(), k=50
+        ),
+        "ingest_edge_churn": oracles.edge_churn_sql(
+            docpages.doc_edges_snapshot_sql((3, 5, 7)),
+            docpages.doc_edges_snapshot_sql(docpages._KS_B),
+        ),
+        "graph_component_sizes": oracles.component_sizes_sql(
+            testdata.derived_directed_sparse_edges_sql()
+        ),
         "text_corpus_mix_report": oracles.corpus_mix_report_sql(min_score=0.5),
         "text_token_percentiles": oracles.token_percentiles_sql(),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(

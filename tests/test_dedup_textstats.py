@@ -142,7 +142,10 @@ def test_ngram_jaccard_no_cached_blocks_leak(spark):
     assert caches and got  # persisted path produced the same non-empty result
     for c in caches:
         c.unpersist()
-    assert jsc.getPersistentRDDs().size() == before
+    # <= for the same ContextCleaner race as above: another fixture's
+    # stale persist may be dropped asynchronously mid-test, shrinking
+    # the baseline; the assertion is "no NEW blocks remain"
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_stratified_sample_deterministic_and_partitioning_independent(spark):

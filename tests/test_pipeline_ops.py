@@ -1,0 +1,272 @@
+"""Round-4 pipeline operators: HLL / count-min sketches, mirror-host
+detection, BM25 retrieval, seeded label propagation, snapshot diff,
+crawl frontier, component-size histogram."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TWO_COMP, edges_df
+
+
+def _strs(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "val string")
+
+
+# -- HLL -------------------------------------------------------------------
+
+
+def test_hll_deterministic_and_partition_independent(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import hll_distinct
+
+    vals = [f"item-{i}" for i in range(5000)]
+    a = hll_distinct(_strs(spark, vals), "val").collect()[0]
+    b = hll_distinct(_strs(spark, vals).repartition(7), "val").collect()[0]
+    assert a == b  # integer register math is partition-independent
+    assert a["n_exact"] == 5000
+    assert a["m"] == 256
+    # m=256 HLL has ~6.5% relative standard error; accept 4 sigma
+    assert abs(a["est_distinct"] - 5000) < 5000 * 0.26
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import hll_distinct
+
+    base = [f"x{i}" for i in range(800)]
+    once = hll_distinct(_strs(spark, base), "val").collect()[0]
+    thrice = hll_distinct(_strs(spark, base * 3), "val").collect()[0]
+    assert once["harmonic_sum"] == thrice["harmonic_sum"]
+    assert once["est_distinct"] == thrice["est_distinct"]
+    assert thrice["n_exact"] == 800
+
+
+def test_hll_empty_registers_counted(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import hll_distinct
+
+    row = hll_distinct(_strs(spark, ["a", "b", "c"]), "val").collect()[0]
+    # 3 values -> at most 3 occupied registers; the other 253 must
+    # contribute 2^52 each to the harmonic sum
+    assert row["v_zero"] >= 253
+    assert row["harmonic_sum"] >= row["v_zero"] * (1 << 52)
+
+
+# -- count-min ---------------------------------------------------------------
+
+
+def test_countmin_never_undercounts_and_hits_exact(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    vals = ["a"] * 50 + ["b"] * 30 + [f"noise{i}" for i in range(100)]
+    out = countmin_estimates(_strs(spark, vals), "val", probe_k=5).collect()
+    assert out[0]["val"] == "a" and out[0]["n_exact"] == 50
+    assert out[1]["val"] == "b" and out[1]["n_exact"] == 30
+    for r in out:
+        assert r["est_n"] >= r["n_exact"]  # count-min property
+        assert r["over_ppm"] >= 0
+    # 130 items over 4x1024 buckets: collisions are possible but the
+    # heavy keys' estimates stay within the sum of all counts
+    assert out[0]["est_n"] <= 180
+
+
+def test_countmin_partition_independent(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    vals = [f"t{i % 37}" for i in range(500)]
+    a = countmin_estimates(_strs(spark, vals), "val", probe_k=10).collect()
+    b = countmin_estimates(
+        _strs(spark, vals).repartition(5), "val", probe_k=10
+    ).collect()
+    assert a == b
+
+
+# -- mirror hosts -------------------------------------------------------------
+
+
+def _host_fp(spark, rows):
+    return spark.createDataFrame(rows, "host string, fp string")
+
+
+def test_mirror_host_pairs_basic(spark):
+    from wedge_parallel_triangle_counting_spark.operators.mirrors import (
+        mirror_host_pairs,
+    )
+
+    rows = (
+        [("h1", f"f{i}") for i in range(8)]
+        + [("m1", f"f{i}") for i in range(4)]  # mirrors half of h1
+        + [("h2", "g0"), ("h2", "g1")]  # disjoint host
+    )
+    out = mirror_host_pairs(_host_fp(spark, rows), min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["host_a"], r["host_b"]) == ("h1", "m1")
+    assert r["shared"] == 4 and r["n_a"] == 8 and r["n_b"] == 4
+    assert r["jaccard_ppm"] == 4 * 1_000_000 // 8  # 4/(8+4-4)
+
+
+def test_mirror_host_pairs_stop_fingerprint_cap(spark):
+    from wedge_parallel_triangle_counting_spark.operators.mirrors import (
+        mirror_host_pairs,
+    )
+
+    # "parked domain" template fp on every host + one genuine pair
+    rows = [(f"h{i}", "template") for i in range(6)] + [
+        ("h0", "u1"),
+        ("h0", "u2"),
+        ("h1", "u1"),
+        ("h1", "u2"),
+    ]
+    capped = mirror_host_pairs(
+        _host_fp(spark, rows), min_shared=2, max_hosts_per_fp=3
+    ).collect()
+    assert len(capped) == 1  # template fp dropped from the index
+    assert capped[0]["shared"] == 2
+    # sizes still count the capped fp (it belongs to the host's set)
+    assert capped[0]["n_a"] == 3 and capped[0]["n_b"] == 3
+
+
+# -- BM25 ---------------------------------------------------------------------
+
+
+def test_bm25_ranks_tf_and_length(spark):
+    from wedge_parallel_triangle_counting_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple"),  # high tf, short
+            (2, "apple " + "pad " * 40),  # tf 1, long
+            (3, "apple apple " + "pad " * 3),  # tf 2, medium
+            (4, "banana only"),  # no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["apple"], k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 2]  # 4 never scored
+    assert all(r["n_terms_hit"] == 1 for r in out)
+    assert out[0]["score_micro"] > out[1]["score_micro"] > out[2]["score_micro"]
+
+
+def test_bm25_multi_term_and_tiebreak(spark):
+    from wedge_parallel_triangle_counting_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "x z")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["x", "y"], k=2).collect()
+    # docs 1 and 2 are identical: tie broken by doc_id ascending
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["score_micro"] == out[1]["score_micro"]
+    assert out[0]["n_terms_hit"] == 2
+
+
+# -- seeded label propagation -------------------------------------------------
+
+
+def _nodes(spark, rows):
+    return spark.createDataFrame(rows, "v long, label string")
+
+
+def test_propagate_fills_frontier_by_round(spark):
+    from wedge_parallel_triangle_counting_spark.operators.langprop import (
+        propagate_labels,
+    )
+
+    # chain 0-1-2-3, only 0 labeled: round 1 reaches 1, round 2 reaches 2
+    nodes = _nodes(spark, [(0, "en"), (1, None), (2, None), (3, None)])
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    out = {r["v"]: r for r in propagate_labels(nodes, edges, rounds=2).collect()}
+    assert out[0]["origin"] == "kept"
+    assert out[1]["label"] == "en" and out[1]["origin"] == "propagated"
+    assert out[2]["label"] == "en" and out[2]["origin"] == "propagated"
+    assert out[3]["label"] is None and out[3]["origin"] == "unlabeled"
+
+
+def test_propagate_majority_and_tiebreak(spark):
+    from wedge_parallel_triangle_counting_spark.operators.langprop import (
+        propagate_labels,
+    )
+
+    # v=0 has two 'de' neighbors and one 'en': majority de.
+    # v=10 has one 'en' and one 'de' neighbor: tie -> 'de' (lex asc).
+    nodes = _nodes(
+        spark,
+        [(0, None), (1, "de"), (2, "de"), (3, "en"), (10, None), (11, "en"), (12, "de")],
+    )
+    edges = edges_df(spark, [(0, 1), (0, 2), (0, 3), (10, 11), (10, 12)])
+    out = {r["v"]: r for r in propagate_labels(nodes, edges, rounds=1).collect()}
+    assert out[0]["label"] == "de"
+    assert out[10]["label"] == "de"
+    # seeds never move
+    assert out[3]["label"] == "en" and out[3]["origin"] == "kept"
+
+
+# -- snapshot diff -------------------------------------------------------------
+
+
+def test_edge_snapshot_diff_statuses(spark):
+    from wedge_parallel_triangle_counting_spark.operators.temporal import (
+        edge_churn_by_group,
+        edge_snapshot_diff,
+    )
+
+    old = edges_df(spark, [(0, 1), (0, 2), (5, 6)])
+    new = edges_df(spark, [(0, 1), (0, 3), (5, 6), (5, 6)])  # dup collapses
+    diff = edge_snapshot_diff(old, new)
+    got = {(r["src"], r["dst"]): r["status"] for r in diff.collect()}
+    assert got == {
+        (0, 1): "kept",
+        (0, 2): "removed",
+        (0, 3): "added",
+        (5, 6): "kept",
+    }
+    churn = edge_churn_by_group(diff, F.col("src"), "g").collect()
+    by_g = {r["g"]: r for r in churn}
+    assert by_g[0]["n_added"] == 1 and by_g[0]["n_removed"] == 1 and by_g[0]["n_kept"] == 1
+    assert by_g[0]["churn_ppm"] == 2 * 1_000_000 // 3
+    assert by_g[5]["churn_ppm"] == 0
+
+
+# -- crawl frontier -------------------------------------------------------------
+
+
+def test_crawl_frontier_ranks_uncrawled_targets(spark):
+    from wedge_parallel_triangle_counting_spark.plans.ingest import crawl_frontier
+
+    def page(url, hrefs):
+        html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (url, f"<html><body>{html}<main>t</main></body></html>".encode())
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.com/1", ["https://new.com/p", "https://a.com/2"]),
+            page("https://a.com/2", ["https://new.com/p", "https://other.com/q"]),
+            page("https://b.com/1", ["https://new.com/p"]),
+        ],
+        "url string, html binary",
+    )
+    out = crawl_frontier(pages, k=10).collect()
+    # crawled targets (a.com/2) never appear
+    urls = [r["url"] for r in out]
+    assert "https://a.com/2" not in urls
+    assert out[0]["url"] == "https://new.com/p"
+    assert out[0]["n_inlinks"] == 3 and out[0]["n_src_hosts"] == 2
+    assert out[1]["url"] == "https://other.com/q" and out[1]["n_inlinks"] == 1
+
+
+# -- component sizes -------------------------------------------------------------
+
+
+def test_component_size_histogram(spark):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        component_size_histogram,
+        connected_components,
+    )
+
+    labels = connected_components(edges_df(spark, TWO_COMP + [(20, 21)]))
+    out = component_size_histogram(labels).collect()
+    assert [(r["size"], r["n_components"]) for r in out] == [(2, 1), (3, 2)]

@@ -381,3 +381,22 @@ def _star_rounds(
         if converged:
             break
     return cur, prev_cnt
+
+
+def component_size_histogram(labels: DataFrame) -> DataFrame:
+    """Reduce a (v, component) labeling to its size distribution:
+    (size, n_components), ordered by size — the standard web-graph
+    connectivity report (how big is the giant component, how long the
+    tail of isolated islands). The giant-component fraction is
+    max(size)·n/sum(size·n) off this table.
+
+    Two hash aggregations, each strictly smaller than its input
+    (vertices -> components -> sizes); nothing else. At 10^12 vertices
+    the output is the histogram of a power law — a few thousand rows.
+    """
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )

@@ -84,3 +84,184 @@ def kmv_distinct(
             ).alias("err_ppm"),
         )
     )
+
+
+# -- HyperLogLog ---------------------------------------------------------
+
+HLL_P = 8  # 2^8 = 256 registers
+_HLL_M = 1 << HLL_P
+# alpha_m for m = 256 (Flajolet et al. 2007); the Python-computed
+# double is embedded as its exact repr in BOTH engines' expressions so
+# each parses the identical IEEE value
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# 60-bit hash = 8 register-index bits (top) + 52 rank bits (bottom)
+_HLL_REST_BITS = 60 - HLL_P
+# alpha * m^2 * 2^52: m^2 * 2^52 = 2^68 is a power of two, so the
+# product is ONE correctly-rounded multiply — identical both engines
+_HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << _HLL_REST_BITS)
+
+
+def hll_distinct(
+    values: DataFrame, column: str, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog distinct-cardinality sketch over `column`, built
+    from pure integer column expressions so the DuckDB oracle
+    replays it bit-for-bit (no approx_count_distinct blackbox, no RNG).
+
+    Register layout: h = 60-bit md5 hash; register index = top 8 bits
+    (h DIV 2^52); rank rho = 1 + leading zeros of the remaining 52
+    bits, computed EXACTLY as 53 - length(bin(rest)) (rest = 0 => 53)
+    — no transcendental log anywhere. The harmonic denominator
+    sum(2^-M_j) is kept in INTEGER units of 2^-52:
+
+        S = sum_j 2^(52 - M_j)    (M_j = 0 for empty registers)
+
+    max S = 256 * 2^52 = 2^60, exact in int64 and order-independent
+    (double-sum ordering varies with partitioning; integer sum does
+    not). The raw estimate floor(alpha * m^2 * 2^52 / S) is then one
+    double divide of exact integers — bit-deterministic cross-engine,
+    the same discipline as kmv_distinct. Small/large-range bias
+    corrections (linear counting / 32-bit wraparound) are a driver-side
+    post-step at deployment; the certified columns expose v_zero and
+    the exact count so the error is part of the contract.
+
+    Why alongside KMV: HLL registers merge by ELEMENTWISE MAX — the
+    merge a 1000-executor tree aggregation needs (KMV merges by global
+    bottom-k, which needs a second ranking pass). One hash agg of
+    #distinct rows -> 256-row state -> 1-row fold.
+    """
+    distinct = (
+        values.select(F.col(column).cast("string").alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
+    h = _h64(F.concat_ws(":", F.lit(salt), F.col("val")))
+    # integer bit split — NOT `/` (double division drops bits of a
+    # 60-bit value above the 2^53 mantissa)
+    rest_mod = 1 << _HLL_REST_BITS
+    hashed = distinct.select(
+        F.shiftright(h, _HLL_REST_BITS).alias("reg"),
+        (h % rest_mod).alias("rest"),
+    )
+    # rho = leading zeros of the 52-bit field + 1; bin() drops leading
+    # zeros so length(bin(rest)) = floor(log2(rest)) + 1 exactly
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
+        F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(F.col("rest")))
+    )
+    regs = hashed.groupBy("reg").agg(F.max(rho).alias("m_j"))
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        # SQL shiftleft: the DataFrame helper only takes a literal bit
+        # count, the SQL form takes the m_j column
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS} - m_j))"
+        ).alias("s_present"),
+    )
+    exact = distinct.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.floor(
+        F.lit(_HLL_NUM) / F.col("harmonic_sum").cast("double")
+    ).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(folded))
+        .select(
+            "n_exact",
+            F.lit(_HLL_M).cast("long").alias("m"),
+            (F.lit(_HLL_M) - F.col("n_regs")).cast("long").alias("v_zero"),
+            (
+                F.col("s_present")
+                + (F.lit(_HLL_M) - F.col("n_regs"))
+                * F.lit(1 << _HLL_REST_BITS).cast("long")
+            ).alias("harmonic_sum"),
+        )
+        .select(
+            "n_exact",
+            "m",
+            "v_zero",
+            "harmonic_sum",
+            est.alias("est_distinct"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "abs(est_distinct - n_exact) * 1000000 DIV greatest(n_exact, 1)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+# -- Count-min sketch ----------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def countmin_estimates(
+    values: DataFrame,
+    column: str,
+    probe_k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Count-min sketch over the (multiset) value stream of `column`,
+    probed at the `probe_k` most frequent values so the oracle cell
+    certifies the ESTIMATES AND THEIR ERROR, not just sketch plumbing.
+
+    Returns (val, n_exact, est_n, over_ppm) — est_n >= n_exact always
+    (count-min never undercounts), over_ppm = relative overcount.
+
+    Sketch build: each occurrence increments one bucket per hash row
+    (bucket = md5-derived 60-bit hash of "cm<r>:<val>" mod width) —
+    expressed as explode(rows) + ONE hash aggregation with map-side
+    combine, so the shuffle carries at most depth*width = 4096
+    counter rows per partition regardless of input size. Estimate =
+    min over rows of the probed bucket. Everything is integer
+    arithmetic on the same md5-derived hashes both engines compute —
+    the estimate is deterministic, partition-independent, and
+    mergeable (counters add), which is what makes count-min the
+    standard distributed heavy-hitter primitive.
+    """
+    vals = values.select(F.col(column).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    buckets = vals.select(
+        F.explode(rows).alias("r"),
+        (
+            _h64(F.concat_ws(":", F.concat(F.lit("cm"), F.col("r")), F.col("val")))
+            % width
+        ).alias("b"),
+    )
+    sketch = buckets.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = (
+        vals.groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("val"))
+        .limit(probe_k)
+    )
+    probe_buckets = probes.select(
+        "val",
+        "n_exact",
+        F.explode(rows).alias("r"),
+    ).select(
+        "val",
+        "n_exact",
+        "r",
+        (
+            _h64(F.concat_ws(":", F.concat(F.lit("cm"), F.col("r")), F.col("val")))
+            % width
+        ).alias("b"),
+    )
+    return (
+        probe_buckets.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("val", "n_exact")
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "val",
+            "n_exact",
+            "est_n",
+            F.expr("(est_n - n_exact) * 1000000 DIV greatest(n_exact, 1)").alias(
+                "over_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("val"))
+    )

@@ -235,3 +235,122 @@ SELECT 'https://doc/' || CAST(doc_id AS VARCHAR) AS url,
        '<html><body><nav>' || {anchors} || '</nav><main>' || text || '</main></body></html>' AS html
 FROM documents
 """.strip()
+
+
+# uncrawled-target universe for the frontier query: external targets
+# live on a host the crawl never visits, spread over a prime modulus
+# so inbound-link mass varies across targets
+_EXT_K = 11
+_EXT_MOD = 97
+
+
+def doc_pages_with_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_pages_hosted plus ONE external anchor per page, pointing at
+    https://ext.example/p/<(doc_id*11) % 97> — targets that are never
+    crawled, i.e. the crawl frontier. (url, html)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _url(id_col):
+        return F.concat(
+            F.lit("https://h"),
+            (id_col % N_HOSTS).cast("string"),
+            F.lit(".example/d/"),
+            id_col.cast("string"),
+        )
+
+    anchors = [
+        F.concat(F.lit('<a href="'), _url((F.col("doc_id") * k) % DOC_MODULUS), F.lit('">link</a>'))
+        for k in _KS
+    ]
+    ext = F.concat(
+        F.lit('<a href="https://ext.example/p/'),
+        ((F.col("doc_id") * _EXT_K) % _EXT_MOD).cast("string"),
+        F.lit('">out</a>'),
+    )
+    html = F.concat(
+        F.lit("<html><body><nav>"),
+        *anchors,
+        ext,
+        F.lit("</nav><main>"),
+        F.col("text"),
+        F.lit("</main></body></html>"),
+    )
+    return docs.select(
+        _url(F.col("doc_id")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def frontier_links_sql() -> str:
+    """The (src_url, dst_url) EXTERNAL link rows of
+    doc_pages_with_frontier as a DuckDB CTE body — the oracle skips
+    the html round-trip (regexp extraction is certified by the
+    ingest_extract/ingest_edges cells) and builds the link rows the
+    html embeds, character-identical."""
+    src = (
+        f"'https://h' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || "
+        f"'.example/d/' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+SELECT {src} AS src_url,
+       'https://ext.example/p/' || CAST((doc_id * {_EXT_K}) % {_EXT_MOD} AS VARCHAR) AS dst_url
+FROM documents
+""".strip()
+
+
+# mirrored-host universe for mirror detection: every doc lives on host
+# h<doc_id % 13>; docs with doc_id % 4 == 0 are ALSO served (same
+# body) on mirror host m<doc_id % 13> — so each (h<k>, m<k>) pair
+# shares ~a quarter of h<k>'s fingerprints and all other pairs share
+# none
+def doc_host_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, fp) — md5 body fingerprints per host, with the mirror
+    copies above."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = (F.col("doc_id") % N_HOSTS).cast("string")
+    orig = docs.select(
+        F.concat(F.lit("h"), k).alias("host"), F.md5("text").alias("fp")
+    )
+    mirrored = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("m"), k).alias("host"), F.md5("text").alias("fp")
+    )
+    return orig.unionByName(mirrored)
+
+
+def doc_host_fingerprints_sql() -> str:
+    return f"""
+SELECT 'h' || CAST(doc_id % {N_HOSTS} AS VARCHAR) AS host, md5(text) AS fp
+FROM documents
+UNION ALL
+SELECT 'm' || CAST(doc_id % {N_HOSTS} AS VARCHAR) AS host, md5(text) AS fp
+FROM documents WHERE doc_id % 4 = 0
+""".strip()
+
+
+# two-crawl edge universes for the snapshot diff: crawl A links with
+# multipliers (3,5,7), crawl B with (3,5,11) — the site template
+# changed one nav slot between crawls
+_KS_B = (3, 5, 11)
+
+
+def doc_edges_snapshot(spark: SparkSession, sf_dir: str, ks) -> DataFrame:
+    """(src, dst) doc-id edges of one synthetic crawl snapshot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k) % DOC_MODULUS).alias("dst"),
+        )
+        for k in ks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def doc_edges_snapshot_sql(ks) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT doc_id AS src, (doc_id * {k}) % {DOC_MODULUS} AS dst FROM documents"
+        for k in ks
+    )

@@ -209,3 +209,43 @@ def anchor_text_profile(pages: DataFrame) -> DataFrame:
     return totals.join(top, "url").select(
         "url", "n_terms", "n_unique_terms", "top_term", "top_term_count"
     )
+
+
+def crawl_frontier(pages: DataFrame, k: int = 50) -> DataFrame:
+    """The crawl frontier, prioritized: link targets NOT present in
+    the crawled page set, ranked by inbound evidence —
+    (url, n_inlinks, n_src_hosts), ordered by (n_inlinks DESC,
+    n_src_hosts DESC, url ASC), top k.
+
+    This is the scheduling core of a recurring crawl: what to fetch
+    next, ordered by how much of the already-crawled web points at it
+    (in-link count) and how broadly (distinct referring hosts — the
+    anti-spam guard: a million links from ONE host rank below ten
+    links from ten hosts when counts tie).
+
+    Plan: extract_links (codegen regexp) -> LEFT ANTI join against the
+    crawled url set on the target url (edge-sized shuffle, the join
+    every frontier computation must pay) -> one hash aggregation
+    keyed on the uncrawled target. count(distinct host) inside the
+    agg is Spark's expand-based distinct — bounded here because the
+    agg key space is the frontier, already orders of magnitude
+    smaller than the link table. Global top-k via TakeOrdered (k rows
+    per partition to the driver, never a full sort).
+    """
+    links = extract_links(pages)
+    uncrawled = links.join(
+        pages.select(F.col("url").alias("dst_url")), "dst_url", "left_anti"
+    )
+    return (
+        uncrawled.select(
+            F.col("dst_url").alias("url"),
+            host_of(F.col("src_url")).alias("src_host"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+        .orderBy(F.desc("n_inlinks"), F.desc("n_src_hosts"), F.asc("url"))
+        .limit(k)
+    )

@@ -3495,3 +3495,291 @@ def rmat_sql(scale: int, edge_factor: int = 16, seed: int = 7) -> str:
         f"CAST({' + '.join(dst_terms)} AS BIGINT) AS dst "
         f"FROM (SELECT unnest(generate_series(0, {n_edges - 1})) AS eid)"
     )
+
+
+# -- round-4 additions: sketches, retrieval, web-pipeline ops -------------
+
+
+def hll_shingles_sql() -> str:
+    """Mirrors operators/sketches.py::hll_distinct over the corpus's
+    distinct 3-gram shingles — identical 60-bit hash, identical
+    integer register math (index = top 8 bits, rho via length(bin()),
+    harmonic sum in exact integer 2^-52 units), identical single
+    double divide."""
+    from ..operators.sketches import _HLL_M, _HLL_NUM, _HLL_REST_BITS
+
+    rest_mod = 1 << _HLL_REST_BITS
+    full = _HLL_REST_BITS + 1
+    return f"""
+WITH {_SHINGLE_CTE},
+d AS (SELECT DISTINCT shingle AS val FROM sh WHERE shingle IS NOT NULL),
+hs AS (SELECT {_h64("'hll:' || val")} AS h FROM d),
+split AS (SELECT h >> {_HLL_REST_BITS} AS reg, h % {rest_mod} AS rest FROM hs),
+regs AS (
+    SELECT reg,
+           max(CASE WHEN rest = 0 THEN {full}
+                    ELSE {full} - length(bin(rest)) END) AS m_j
+    FROM split GROUP BY reg
+),
+folded AS (
+    SELECT count(*) AS n_regs,
+           CAST(sum(CAST(1 AS BIGINT) << ({_HLL_REST_BITS} - m_j)) AS BIGINT)
+               AS s_present
+    FROM regs
+),
+exact AS (SELECT count(*) AS n_exact FROM d),
+fold2 AS (
+    SELECT n_exact,
+           CAST({_HLL_M} AS BIGINT) AS m,
+           CAST({_HLL_M} - n_regs AS BIGINT) AS v_zero,
+           s_present + ({_HLL_M} - n_regs) * CAST({rest_mod} AS BIGINT)
+               AS harmonic_sum
+    FROM exact CROSS JOIN folded
+)
+SELECT n_exact, m, v_zero, harmonic_sum,
+       CAST(floor({_HLL_NUM!r} / CAST(harmonic_sum AS DOUBLE)) AS BIGINT)
+           AS est_distinct,
+       CAST(abs(CAST(floor({_HLL_NUM!r} / CAST(harmonic_sum AS DOUBLE)) AS BIGINT)
+                - n_exact) * 1000000 // greatest(n_exact, 1) AS BIGINT) AS err_ppm
+FROM fold2
+""".strip()
+
+
+_TOKEN_STREAM_CTE = r"""
+tokstream AS (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS val
+    FROM documents
+)
+""".strip()
+
+
+def countmin_tokens_sql(probe_k: int = 20, depth: int = 4, width: int = 1024) -> str:
+    """Mirrors operators/sketches.py::countmin_estimates over the
+    corpus token stream (every occurrence): identical per-row bucket
+    hashes, identical min-over-rows estimates at the top-`probe_k`
+    exact tokens."""
+    h = _h64("'cm' || CAST(r AS VARCHAR) || ':' || val")
+    bucket = f"{h} % {width}"
+    return f"""
+WITH {_TOKEN_STREAM_CTE},
+v AS (SELECT val FROM tokstream WHERE val IS NOT NULL),
+rws AS (SELECT unnest(generate_series(0, {depth - 1})) AS r),
+buckets AS (SELECT r, {bucket} AS b FROM v CROSS JOIN rws),
+sketch AS (SELECT r, b, count(*) AS cnt FROM buckets GROUP BY r, b),
+probes AS (
+    SELECT val, count(*) AS n_exact FROM v GROUP BY val
+    ORDER BY n_exact DESC, val ASC LIMIT {probe_k}
+),
+pb AS (SELECT val, n_exact, r, {bucket} AS b FROM probes CROSS JOIN rws),
+est AS (
+    SELECT val, n_exact, CAST(min(cnt) AS BIGINT) AS est_n
+    FROM pb JOIN sketch USING (r, b) GROUP BY val, n_exact
+)
+SELECT val, n_exact, est_n,
+       CAST((est_n - n_exact) * 1000000 // greatest(n_exact, 1) AS BIGINT)
+           AS over_ppm
+FROM est ORDER BY n_exact DESC, val ASC
+""".strip()
+
+
+def mirror_hosts_sql(
+    host_fp_sql: str, min_shared: int = 2, max_hosts_per_fp: int = 1000
+) -> str:
+    """Mirrors operators/mirrors.py::mirror_host_pairs over any
+    (host, fp) relation SQL."""
+    return f"""
+WITH hf AS ({host_fp_sql}),
+sets AS (
+    SELECT DISTINCT host, fp FROM hf
+    WHERE host IS NOT NULL AND fp IS NOT NULL
+),
+sizes AS (SELECT host, count(*) AS n FROM sets GROUP BY host),
+freq AS (SELECT fp, count(*) AS n_hosts FROM sets GROUP BY fp),
+idx AS (
+    SELECT s.host, s.fp FROM sets s JOIN freq f USING (fp)
+    WHERE f.n_hosts <= {max_hosts_per_fp}
+),
+pairs AS (
+    SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+    FROM idx a JOIN idx b USING (fp)
+    WHERE a.host < b.host
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_shared}
+)
+SELECT host_a, host_b, shared, n_a, n_b,
+       CAST(shared * 1000000 // (n_a + n_b - shared) AS BIGINT) AS jaccard_ppm
+FROM pairs
+JOIN (SELECT host AS host_a, n AS n_a FROM sizes) USING (host_a)
+JOIN (SELECT host AS host_b, n AS n_b FROM sizes) USING (host_b)
+ORDER BY jaccard_ppm DESC, host_a, host_b
+""".strip()
+
+
+def bm25_topk_sql(terms, k: int = 10) -> str:
+    """Mirrors operators/retrieval.py::bm25_topk — identical rational
+    idf_micro, identical exact k1=1.2 / b=0.75 tf factor, HUGEINT
+    intermediates standing in for Spark's DECIMAL(38,0)."""
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    FROM documents
+),
+base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+    FROM base
+),
+hits AS (
+    SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(t) AS tok FROM base) u
+    WHERE tok IN ({tlist})
+    GROUP BY doc_id, dl, tok
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+scored AS (
+    SELECT h.doc_id,
+           CAST(
+             CAST(((2 * (n_docs - df) + 1) * 1000000) // (2 * df + 1) AS HUGEINT)
+             * 22 * tf * avgdl
+             // (10 * tf * avgdl + 3 * avgdl + 9 * dl)
+           AS BIGINT) AS term_score
+    FROM hits h JOIN dfreq USING (tok) CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(term_score) AS BIGINT) AS score_micro
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def lang_propagate_sql(edges_sql: str, rounds: int = 2) -> str:
+    """Mirrors operators/langprop.py::propagate_labels over the
+    documents table with the doc_id % 7 == 0 label masking, `rounds`
+    unrolled majority-vote rounds, deterministic (count DESC, label
+    ASC) tie-break."""
+    parts = [
+        f"""
+WITH nodes AS (
+    SELECT doc_id AS v,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS label
+    FROM documents
+),
+raw AS ({edges_sql}),
+sym AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM raw
+    ) t WHERE src <> dst
+),
+state_0 AS (
+    SELECT v, label,
+           CASE WHEN label IS NOT NULL THEN 'kept' ELSE 'unlabeled' END AS origin
+    FROM nodes
+)""".strip()
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+votes_{r} AS (
+    SELECT e.src AS v, s.label AS nbr_label, count(*) AS n
+    FROM sym e JOIN state_{r - 1} s ON s.v = e.dst
+    WHERE s.label IS NOT NULL
+    GROUP BY 1, 2
+),
+win_{r} AS (
+    SELECT v, nbr_label AS vote FROM (
+        SELECT v, nbr_label,
+               row_number() OVER (PARTITION BY v ORDER BY n DESC, nbr_label ASC)
+                   AS rk
+        FROM votes_{r}
+    ) q WHERE rk = 1
+),
+state_{r} AS (
+    SELECT s.v,
+           COALESCE(s.label, w.vote) AS label,
+           CASE WHEN s.label IS NULL AND w.vote IS NOT NULL
+                THEN 'propagated' ELSE s.origin END AS origin
+    FROM state_{r - 1} s LEFT JOIN win_{r} w USING (v)
+)""".strip()
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT v, label, origin FROM state_{rounds}"
+
+
+def crawl_frontier_sql(frontier_ext_sql: str, k: int = 50) -> str:
+    """Mirrors plans/ingest.py::crawl_frontier over
+    doc_pages_with_frontier: internal link rows are rebuilt from the
+    same (doc_id*k) % 211 construction the html embeds (targets may be
+    uncrawled when the corpus is smaller than the modulus), external
+    rows come from `frontier_ext_sql`; the crawled set is the page
+    url universe."""
+    internal = "\nUNION ALL\n".join(
+        f"SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/d/' || "
+        f"CAST(doc_id AS VARCHAR) AS src_url, "
+        f"'https://h' || CAST(((doc_id * {kk}) % 211) % 13 AS VARCHAR) || "
+        f"'.example/d/' || CAST((doc_id * {kk}) % 211 AS VARCHAR) AS dst_url "
+        f"FROM documents"
+        for kk in (3, 5, 7)
+    )
+    return f"""
+WITH links AS (
+{internal}
+UNION ALL
+{frontier_ext_sql}
+),
+crawled AS (
+    SELECT DISTINCT 'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+           '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+uncrawled AS (
+    SELECT l.dst_url AS url,
+           regexp_extract(l.src_url, '^https?://([^/]+)', 1) AS src_host
+    FROM links l LEFT JOIN crawled c ON l.dst_url = c.url
+    WHERE c.url IS NULL
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM uncrawled GROUP BY url
+ORDER BY n_inlinks DESC, n_src_hosts DESC, url ASC LIMIT {k}
+""".strip()
+
+
+def edge_churn_sql(old_sql: str, new_sql: str, group_mod: int = 13) -> str:
+    """Mirrors operators/temporal.py::edge_snapshot_diff +
+    edge_churn_by_group with group = src % group_mod."""
+    return f"""
+WITH a AS (SELECT DISTINCT src, dst FROM ({old_sql}) t),
+b AS (SELECT DISTINCT src, dst FROM ({new_sql}) t),
+d AS (
+    SELECT COALESCE(a.src, b.src) AS src,
+           CASE WHEN a.src IS NOT NULL AND b.src IS NOT NULL THEN 'kept'
+                WHEN b.src IS NOT NULL THEN 'added'
+                ELSE 'removed' END AS status
+    FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst
+)
+SELECT src % {group_mod} AS grp,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST((sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+             + sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS churn_ppm
+FROM d GROUP BY grp ORDER BY grp
+""".strip()
+
+
+def component_sizes_sql(raw_sql: str) -> str:
+    """Component-size histogram over components_sql's labeling."""
+    return f"""
+SELECT size, CAST(count(*) AS BIGINT) AS n_components
+FROM (
+    SELECT component, CAST(count(*) AS BIGINT) AS size
+    FROM ({components_sql(raw_sql)}) labels
+    GROUP BY component
+) s
+GROUP BY size ORDER BY size
+""".strip()
