@@ -1022,6 +1022,28 @@ def _q_edge_churn(spark, sf_dir):
     return edge_churn_by_group(diff, F.col("src") % 13, "grp")
 
 
+PR_WARM_OLD_ITERS = 5
+PR_WARM_NEW_ITERS = 3
+
+
+def _q_pagerank_warm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        _KS_B,
+        doc_edges_snapshot,
+    )
+
+    old = doc_edges_snapshot(spark, sf_dir, (3, 5, 7))
+    new = doc_edges_snapshot(spark, sf_dir, _KS_B)
+    pr_old = pagerank(old, num_iters=PR_WARM_OLD_ITERS)
+    # hand over the ROUNDED published ranks — the artifact a recurring
+    # crawl actually stores, and bit-identical on both engines
+    warm = pr_old.select("v", F.round("pr", 6).alias("pr"))
+    pr_new = pagerank(new, num_iters=PR_WARM_NEW_ITERS, init_ranks=warm)
+    return pr_new.select("v", F.round("pr", 6).alias("pr"))
+
+
 def _q_component_sizes(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.components import (
         component_size_histogram,
@@ -1516,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_lang_propagate": _q_lang_propagate,
         "ingest_crawl_frontier": _q_crawl_frontier,
         "ingest_edge_churn": _q_edge_churn,
+        "pagerank_warm_start": _q_pagerank_warm,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
@@ -1753,6 +1776,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_component_sizes": oracles.component_sizes_sql(
             testdata.derived_directed_sparse_edges_sql()
+        ),
+        "pagerank_warm_start": oracles.pagerank_warm_sql(
+            docpages.doc_edges_snapshot_sql((3, 5, 7)),
+            docpages.doc_edges_snapshot_sql(docpages._KS_B),
+            iters_old=PR_WARM_OLD_ITERS,
+            iters_new=PR_WARM_NEW_ITERS,
         ),
         "text_corpus_mix_report": oracles.corpus_mix_report_sql(min_score=0.5),
         "text_token_percentiles": oracles.token_percentiles_sql(),

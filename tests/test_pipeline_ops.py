@@ -270,3 +270,56 @@ def test_component_size_histogram(spark):
     labels = connected_components(edges_df(spark, TWO_COMP + [(20, 21)]))
     out = component_size_histogram(labels).collect()
     assert [(r["size"], r["n_components"]) for r in out] == [(2, 1), (3, 2)]
+
+
+# -- pagerank warm start --------------------------------------------------------
+
+
+def test_pagerank_warm_start_equals_cold_when_uniform(spark):
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
+
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    cold = {r["v"]: r["pr"] for r in pagerank(edges, num_iters=4).collect()}
+    uniform = spark.createDataFrame([(v, 0.25) for v in range(4)], "v long, pr double")
+    warm = {
+        r["v"]: r["pr"]
+        for r in pagerank(edges, num_iters=4, init_ranks=uniform).collect()
+    }
+    assert warm == cold  # uniform init_ranks IS the cold init
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
+
+    # an IRREGULAR expander — on a regular graph (all in/out degrees
+    # equal) PageRank is exactly uniform and warm init == cold init,
+    # which proves nothing
+    g = (
+        [(i, (3 * i) % 101) for i in range(101)]
+        + [(i, (7 * i + 1) % 101) for i in range(101)]
+        + [(i, 0) for i in range(0, 101, 10)]
+        + [(i, (i * i + 2) % 101) for i in range(0, 101, 3)]
+    )
+    converged = pagerank(edges_df(spark, g), num_iters=60)
+    # perturb one edge, re-rank for only 2 iterations
+    perturbed = edges_df(spark, g[:-1] + [(5, 11)])
+    target = {r["v"]: r["pr"] for r in pagerank(perturbed, num_iters=60).collect()}
+
+    def l1(ranks):
+        return sum(abs(r["pr"] - target[r["v"]]) for r in ranks.collect())
+
+    warm2 = pagerank(perturbed, num_iters=2, init_ranks=converged)
+    cold2 = pagerank(perturbed, num_iters=2)
+    # measured ~4.5x closer after 2 iterations; assert a safe margin
+    assert l1(warm2) < l1(cold2) / 3
+
+
+def test_pagerank_warm_start_new_vertices_cold_init(spark):
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
+
+    old_ranks = spark.createDataFrame([(0, 0.9), (1, 0.1)], "v long, pr double")
+    # vertex 5 is new: first iteration must treat it as 1/n, not NULL
+    edges = edges_df(spark, [(0, 1), (1, 5), (5, 0)])
+    out = pagerank(edges, num_iters=1, init_ranks=old_ranks).collect()
+    assert all(r["pr"] is not None for r in out)
+    assert len(out) == 3

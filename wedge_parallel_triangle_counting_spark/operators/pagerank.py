@@ -90,6 +90,7 @@ def pagerank(
     partition_stats: bool = False,
     sources: list[int] | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns DataFrame [v: long, pr: double]. Runs `num_iters`
     iterations, or stops earlier when the L1 delta falls below `tol`
@@ -105,7 +106,17 @@ def pagerank(
     `weight_col` switches to WEIGHTED PageRank: duplicate (src, dst)
     rows sum their weights, and a link's share of pr(u) is
     w(u,v) / Σ_x w(u,x) instead of 1/outdeg(u) — the natural semantics
-    for a host-graph rollup where the weight is the link count."""
+    for a host-graph rollup where the weight is the link count.
+
+    `init_ranks` (v, pr) WARM-STARTS the power iteration: vertices
+    present in it start from the given value, new vertices from the
+    cold init (1/n, or s(v) when personalized). The fixed point does
+    not depend on the init — damping contracts any start to the same
+    ranks — so warm-starting from the PREVIOUS crawl's published
+    ranks after a snapshot diff buys convergence in the few
+    iterations the churn actually perturbed, instead of re-running
+    the full schedule over 10^12 edges. Pair with `tol` in
+    production; tests pin `num_iters` for exact oracle replay."""
     spark = edges.sparkSession
     # align the static sides with the per-iteration aggregation output
     # (spark.sql.shuffle.partitions) — a defaultParallelism mismatch
@@ -140,6 +151,7 @@ def pagerank(
                 if sources is not None
                 else None,
                 "weight_col": weight_col,
+                "warm_start": init_ranks is not None,
             }
             if checkpoint_dir
             else None
@@ -162,7 +174,15 @@ def pagerank(
         # state carries outdeg so the iteration needs no ranks⋈outdeg
         # join — one fewer shuffle per iteration
         init = s_col if s_col is not None else F.lit(1.0 / n)
-        ranks = outdeg.select("v", "outdeg", init.alias("pr"))
+        if init_ranks is not None:
+            ranks = (
+                outdeg.join(
+                    init_ranks.select("v", F.col("pr").alias("pr0")), "v", "left"
+                )
+                .select("v", "outdeg", F.coalesce("pr0", init).alias("pr"))
+            )
+        else:
+            ranks = outdeg.select("v", "outdeg", init.alias("pr"))
 
     base = (1.0 - damping) / n
     # NOTE: unlike labelprop/hashmin, PageRank does NOT broadcast its

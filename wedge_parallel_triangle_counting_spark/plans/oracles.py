@@ -3783,3 +3783,68 @@ FROM (
 ) s
 GROUP BY size ORDER BY size
 """.strip()
+
+
+def pagerank_warm_sql(
+    old_sql: str,
+    new_sql: str,
+    iters_old: int,
+    iters_new: int,
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> str:
+    """Mirrors pagerank(..., init_ranks=<previous crawl's published
+    ranks>): phase A = the full `iters_old`-iteration unrolling on the
+    OLD graph (nested CTE, already rounded — the hand-off is the
+    rounded published artifact on both engines, so it is bit-identical
+    before phase B starts); phase B = `iters_new` iterations on the
+    NEW graph warm-started from it, new vertices cold at 1/n."""
+    d = damping
+    warm = pagerank_sql(old_sql, iters_old, damping, ndigits)
+    ctes = [
+        f"warm AS ({warm})",
+        f"raw AS ({new_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw)",
+        "vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vs)",
+        """od AS (
+            SELECT vs.v, coalesce(o.outdeg, 0) AS outdeg
+            FROM vs LEFT JOIN (
+                SELECT src AS v, count(*) AS outdeg FROM e GROUP BY src
+            ) o ON o.v = vs.v
+        )""",
+        """r0 AS (
+            SELECT vs.v, coalesce(w.pr, 1.0 / nn.n) AS pr
+            FROM vs CROSS JOIN nn LEFT JOIN warm w ON w.v = vs.v
+        )""",
+    ]
+    step = (
+        f"(1.0 - {d}) / nn.n"
+        f" + {d} * (coalesce(c.contrib, 0.0) + dang.dangling / nn.n) AS pr"
+    )
+    for i in range(1, iters_new + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+            SELECT od.v AS v,
+                   {step}
+            FROM od
+            CROSS JOIN nn
+            CROSS JOIN (
+                SELECT coalesce(sum(p.pr), 0.0) AS dangling
+                FROM {prev} p JOIN od ON od.v = p.v WHERE od.outdeg = 0
+            ) dang
+            LEFT JOIN (
+                SELECT e.dst AS v, sum(p.pr / od.outdeg) AS contrib
+                FROM e
+                JOIN {prev} p ON p.v = e.src
+                JOIN od ON od.v = e.src
+                GROUP BY e.dst
+            ) c ON c.v = od.v
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v, round(pr, {ndigits}) AS pr FROM r{iters_new}"
+    )
