@@ -1022,6 +1022,32 @@ def _q_edge_churn(spark, sf_dir):
     return edge_churn_by_group(diff, F.col("src") % 13, "grp")
 
 
+def _q_components_incremental(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        incremental_components,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_edges_snapshot,
+    )
+
+    # previous crawl = the (3, 5) link slots; this crawl ADDS slot 7
+    old = doc_edges_snapshot(spark, sf_dir, (3, 5))
+    added = doc_edges_snapshot(spark, sf_dir, (7,))
+    old_labels = connected_components(old)
+    return incremental_components(old_labels, added)
+
+
+def _q_url_templates(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_urls_dirty
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        canonicalize_urls,
+        url_templates,
+    )
+
+    canon = canonicalize_urls(doc_urls_dirty(spark, sf_dir))
+    return url_templates(canon, url_col="url_canonical", k=100)
+
+
 PR_WARM_OLD_ITERS = 5
 PR_WARM_NEW_ITERS = 3
 
@@ -1539,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_crawl_frontier": _q_crawl_frontier,
         "ingest_edge_churn": _q_edge_churn,
         "pagerank_warm_start": _q_pagerank_warm,
+        "components_incremental": _q_components_incremental,
+        "ingest_url_templates": _q_url_templates,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
@@ -1777,6 +1805,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_component_sizes": oracles.component_sizes_sql(
             testdata.derived_directed_sparse_edges_sql()
         ),
+        "components_incremental": oracles.incremental_components_sql(
+            docpages.doc_edges_snapshot_sql((3, 5, 7))
+        ),
+        "ingest_url_templates": oracles.url_templates_sql(k=100),
         "pagerank_warm_start": oracles.pagerank_warm_sql(
             docpages.doc_edges_snapshot_sql((3, 5, 7)),
             docpages.doc_edges_snapshot_sql(docpages._KS_B),

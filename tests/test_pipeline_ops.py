@@ -323,3 +323,80 @@ def test_pagerank_warm_start_new_vertices_cold_init(spark):
     out = pagerank(edges, num_iters=1, init_ranks=old_ranks).collect()
     assert all(r["pr"] is not None for r in out)
     assert len(out) == 3
+
+
+# -- incremental connected components -------------------------------------------
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)]
+    added = [(2, 10), (22, 30)]  # merges {0..2}+{10,11}; extends {20..22}
+    old_labels = connected_components(edges_df(spark, old))
+    inc = {
+        (r["v"], r["component"])
+        for r in incremental_components(old_labels, edges_df(spark, added)).collect()
+    }
+    full = {
+        (r["v"], r["component"])
+        for r in connected_components(edges_df(spark, old + added)).collect()
+    }
+    assert inc == full
+
+
+def test_incremental_components_converges_in_constant_rounds(spark):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    # a 60-vertex path: cold HashMin needs ~path-length rounds; the
+    # star forest compresses it so the incremental run converges
+    # within a handful of rounds even with the tight max_iters
+    path = [(i, i + 1) for i in range(60)]
+    old_labels = connected_components(edges_df(spark, path))
+    inc = incremental_components(
+        old_labels, edges_df(spark, [(60, 61)]), max_iters=4
+    ).collect()
+    assert all(r["component"] == 0 for r in inc)
+    assert len(inc) == 62
+
+
+def test_incremental_components_merge_takes_global_min(spark):
+    from wedge_parallel_triangle_counting_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = [(5, 6), (1, 2)]
+    old_labels = connected_components(edges_df(spark, old))
+    inc = incremental_components(old_labels, edges_df(spark, [(6, 2)])).collect()
+    assert {r["component"] for r in inc} == {1}
+
+
+# -- url templates ---------------------------------------------------------------
+
+
+def test_url_templates_collapse_and_rank(spark):
+    from wedge_parallel_triangle_counting_spark.plans.ingest import url_templates
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/item/1",),
+            ("https://a.com/item/2",),
+            ("https://a.com/item/39",),
+            ("https://a.com/about",),
+            ("https://b.com/p/7/x/8",),
+        ],
+        "url string",
+    )
+    out = [(r["host"], r["template"], r["n_urls"]) for r in url_templates(urls).collect()]
+    assert out == [
+        ("a.com", "/item/{d}", 3),
+        ("a.com", "/about", 1),
+        ("b.com", "/p/{d}/x/{d}", 1),
+    ]

@@ -249,3 +249,28 @@ def crawl_frontier(pages: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n_inlinks"), F.desc("n_src_hosts"), F.asc("url"))
         .limit(k)
     )
+
+
+def url_templates(urls: DataFrame, url_col: str = "url", k: int = 100) -> DataFrame:
+    """URL-template mining: collapse digit runs in the PATH (host kept
+    verbatim — traps are per-host) and count urls per (host, template)
+    — (host, template, n_urls), top k by (n_urls DESC, host, template).
+
+    A template with a runaway count is the crawl-trap / infinite-
+    pagination signal (calendar pages, session ids, faceted search):
+    the standard frontier-hygiene report a recurring crawl runs before
+    scheduling. Pure codegen'd regexps (`[0-9]+` is RE2 ∩ Java-regex)
+    + ONE hash aggregation whose key space is #templates — map-side
+    combine absorbs the very repetition that defines a trap — then a
+    TakeOrdered top-k."""
+    host = host_of(F.col(url_col))
+    rest = F.regexp_extract(F.col(url_col), _REST_RE, 1)
+    template = F.regexp_replace(rest, "[0-9]+", "{d}")
+    return (
+        urls.select(host.alias("host"), template.alias("template"))
+        .filter(F.col("host") != "")
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy(F.desc("n_urls"), F.asc("host"), F.asc("template"))
+        .limit(k)
+    )

@@ -3848,3 +3848,32 @@ def pagerank_warm_sql(
         + ",\n".join(ctes)
         + f"\nSELECT v, round(pr, {ndigits}) AS pr FROM r{iters_new}"
     )
+
+
+def incremental_components_sql(full_union_sql: str) -> str:
+    """Oracle for operators/components.py::incremental_components —
+    exactness means EQUALITY WITH THE FULL RECOMPUTE, so the oracle is
+    simply components_sql over the whole (old ∪ added) edge set; the
+    engine side never reads the old edges."""
+    return components_sql(full_union_sql)
+
+
+def url_templates_sql(k: int = 100) -> str:
+    """Mirrors plans/ingest.py::url_templates over the canonicalized
+    dirty-url derivation (host kept, digit runs in the path collapsed
+    to {d})."""
+    return f"""
+WITH canon AS ({canonical_urls_sql()}),
+t AS (
+    SELECT regexp_extract(url_canonical, '^https?://([^/]+)', 1) AS host,
+           regexp_replace(
+               regexp_extract(url_canonical,
+                              '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/#?]*(.*)$', 1),
+               '[0-9]+', '{{d}}', 'g') AS template
+    FROM canon
+)
+SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+FROM t WHERE host <> ''
+GROUP BY host, template
+ORDER BY n_urls DESC, host ASC, template ASC LIMIT {k}
+""".strip()
