@@ -1022,6 +1022,44 @@ def _q_edge_churn(spark, sf_dir):
     return edge_churn_by_group(diff, F.col("src") % 13, "grp")
 
 
+def _q_streaming_countmin(spark, sf_dir):
+    # real Structured Streaming execution: the count-min counter table
+    # maintained incrementally (counters ADD across micro-batches),
+    # then probed with the same batch post-step as the batch operator;
+    # the oracle is the batch count-min SQL — stream == batch is the
+    # certified contract
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        countmin_probe,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.textstats import _tokens
+    from wedge_parallel_triangle_counting_spark.streaming.sketches import (
+        run_streaming_countmin,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_cm_")
+    src_dir = f"{tmp}/docs"
+    os.makedirs(src_dir)
+    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/part-000.parquet")
+    try:
+        sketch = run_streaming_countmin(spark, src_dir, f"{tmp}/ckpt")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    toks = _docs(spark, sf_dir).select(F.explode(_tokens(F.col("text"))).alias("val"))
+    probes = (
+        toks.groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("val"))
+        .limit(20)
+    )
+    return countmin_probe(sketch, probes)
+
+
 def _q_components_incremental(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.components import (
         incremental_components,
@@ -1566,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_edge_churn": _q_edge_churn,
         "pagerank_warm_start": _q_pagerank_warm,
         "components_incremental": _q_components_incremental,
+        "streaming_countmin": _q_streaming_countmin,
         "ingest_url_templates": _q_url_templates,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
@@ -1805,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_component_sizes": oracles.component_sizes_sql(
             testdata.derived_directed_sparse_edges_sql()
         ),
+        "streaming_countmin": oracles.countmin_tokens_sql(probe_k=20),
         "components_incremental": oracles.incremental_components_sql(
             docpages.doc_edges_snapshot_sql((3, 5, 7))
         ),

@@ -400,3 +400,72 @@ def test_url_templates_collapse_and_rank(spark):
         ("a.com", "/about", 1),
         ("b.com", "/p/{d}/x/{d}", 1),
     ]
+
+
+# -- streaming sketch maintenance ------------------------------------------------
+
+
+def _docs_replay_dir(spark, tmp_path, rows):
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src)
+    )
+    return str(src)
+
+
+def test_streaming_countmin_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        countmin_sketch_table,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.textstats import _tokens
+    from wedge_parallel_triangle_counting_spark.streaming.sketches import (
+        run_streaming_countmin,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common") for i in range(40)]
+    src = _docs_replay_dir(spark, tmp_path, rows)
+    streamed = run_streaming_countmin(spark, src, str(tmp_path / "ckpt"))
+    toks = (
+        spark.read.parquet(src)
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    batch = countmin_sketch_table(toks, "tok")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # total counter mass = depth * token occurrences
+    total = streamed.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 4 * 3 * 40
+
+
+def test_streaming_hll_registers_equal_batch_and_fold(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        hll_distinct,
+        hll_from_registers,
+        hll_register_table,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.textstats import _tokens
+    from wedge_parallel_triangle_counting_spark.streaming.sketches import (
+        run_streaming_hll_registers,
+    )
+
+    rows = [(i, f"w{i} w{i + 100} shared") for i in range(60)]
+    src = _docs_replay_dir(spark, tmp_path, rows)
+    streamed = run_streaming_hll_registers(spark, src, str(tmp_path / "ckpt"))
+    toks = (
+        spark.read.parquet(src)
+        .select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    batch_regs = hll_register_table(toks, "tok")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_regs.collect())
+    )
+    # folding the STREAMED registers gives the batch operator's report
+    exact = toks.distinct().agg(F.count(F.lit(1)).alias("n_exact"))
+    from_stream = hll_from_registers(streamed, exact).collect()
+    from_batch = hll_distinct(toks, "tok").collect()
+    assert from_stream == from_batch

@@ -135,11 +135,27 @@ def hll_distinct(
         .filter(F.col("val").isNotNull())
         .distinct()
     )
+    exact = distinct.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hll_from_registers(hll_register_table(distinct, "val", salt), exact)
+
+
+def hll_register_table(
+    values: DataFrame, column: str, salt: str = "hll"
+) -> DataFrame:
+    """The (reg, m_j) register table — the MERGEABLE sketch state.
+    Duplicate values map to identical (reg, rho) pairs and are
+    absorbed by the max, so the input does NOT need to be distinct:
+    this is the form a streaming aggregation maintains incrementally
+    (streaming/sketches.py) and a tree aggregation merges by
+    elementwise max."""
+    vals = values.select(F.col(column).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
     h = _h64(F.concat_ws(":", F.lit(salt), F.col("val")))
     # integer bit split — NOT `/` (double division drops bits of a
     # 60-bit value above the 2^53 mantissa)
     rest_mod = 1 << _HLL_REST_BITS
-    hashed = distinct.select(
+    hashed = vals.select(
         F.shiftright(h, _HLL_REST_BITS).alias("reg"),
         (h % rest_mod).alias("rest"),
     )
@@ -148,7 +164,12 @@ def hll_distinct(
     rho = F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1)).otherwise(
         F.lit(_HLL_REST_BITS + 1) - F.length(F.bin(F.col("rest")))
     )
-    regs = hashed.groupBy("reg").agg(F.max(rho).alias("m_j"))
+    return hashed.groupBy("reg").agg(F.max(rho).alias("m_j"))
+
+
+def hll_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Fold a register table into the 1-row sketch report; `exact` is
+    a 1-row (n_exact) frame for the certified-error columns."""
     folded = regs.agg(
         F.count(F.lit(1)).alias("n_regs"),
         # SQL shiftleft: the DataFrame helper only takes a literal bit
@@ -157,7 +178,6 @@ def hll_distinct(
             f"sum(shiftleft(CAST(1 AS BIGINT), {_HLL_REST_BITS} - m_j))"
         ).alias("s_present"),
     )
-    exact = distinct.agg(F.count(F.lit(1)).alias("n_exact"))
     est = F.floor(
         F.lit(_HLL_NUM) / F.col("harmonic_sum").cast("double")
     ).cast("long")
@@ -223,6 +243,25 @@ def countmin_estimates(
     vals = values.select(F.col(column).cast("string").alias("val")).filter(
         F.col("val").isNotNull()
     )
+    sketch = countmin_sketch_table(vals, "val", depth, width)
+    probes = (
+        vals.groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("val"))
+        .limit(probe_k)
+    )
+    return countmin_probe(sketch, probes, depth, width)
+
+
+def countmin_sketch_table(
+    values: DataFrame, column: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """The (r, b, cnt) counter table — the MERGEABLE sketch state
+    (counters of partitions/micro-batches ADD), maintained
+    incrementally by a streaming aggregation (streaming/sketches.py)."""
+    vals = values.select(F.col(column).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
     rows = F.array(*[F.lit(r) for r in range(depth)])
     buckets = vals.select(
         F.explode(rows).alias("r"),
@@ -231,13 +270,18 @@ def countmin_estimates(
             % width
         ).alias("b"),
     )
-    sketch = buckets.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    probes = (
-        vals.groupBy("val")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("val"))
-        .limit(probe_k)
-    )
+    return buckets.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Estimate the probe values' frequencies from a counter table:
+    probes = (val, n_exact); returns the certified estimate report."""
+    rows = F.array(*[F.lit(r) for r in range(depth)])
     probe_buckets = probes.select(
         "val",
         "n_exact",
