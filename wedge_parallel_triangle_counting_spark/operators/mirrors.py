@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import finish_with_caches
+
 
 def mirror_host_pairs(
     host_fp: DataFrame,
@@ -34,6 +36,7 @@ def mirror_host_pairs(
     fp_col: str = "fp",
     min_shared: int = 2,
     max_hosts_per_fp: int = 1000,
+    caches: list | None = None,
 ) -> DataFrame:
     """(host_a, host_b, shared, n_a, n_b, jaccard_ppm) for host pairs
     sharing >= min_shared distinct page fingerprints, host_a < host_b,
@@ -45,6 +48,9 @@ def mirror_host_pairs(
     joins. The only edge-scale shuffles key on fp; pair and size
     relations are #hosts-scale.
     """
+    # `sets` feeds four consumers (sizes, the frequency cap, both join
+    # sides) — persist it or every consumer re-scans the corpus and
+    # recomputes the distinct (the plan audit caught exactly that)
     sets = (
         host_fp.select(
             F.col(host_col).cast("string").alias("host"),
@@ -52,6 +58,7 @@ def mirror_host_pairs(
         )
         .filter(F.col("host").isNotNull() & F.col("fp").isNotNull())
         .distinct()
+        .persist()
     )
     sizes = sets.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
     common = (
@@ -72,7 +79,7 @@ def mirror_host_pairs(
     )
     sa = sizes.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("host").alias("host_b"), F.col("n").alias("n_b"))
-    return (
+    out = (
         pairs.join(sa, "host_a")
         .join(sb, "host_b")
         .select(
@@ -85,3 +92,4 @@ def mirror_host_pairs(
         )
         .orderBy(F.desc("jaccard_ppm"), "host_a", "host_b")
     )
+    return finish_with_caches(out, [sets], caches)

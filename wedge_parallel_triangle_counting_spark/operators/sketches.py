@@ -102,7 +102,7 @@ _HLL_NUM = _HLL_ALPHA * float(_HLL_M * _HLL_M) * float(1 << _HLL_REST_BITS)
 
 
 def hll_distinct(
-    values: DataFrame, column: str, salt: str = "hll"
+    values: DataFrame, column: str, salt: str = "hll", caches: list | None = None
 ) -> DataFrame:
     """HyperLogLog distinct-cardinality sketch over `column`, built
     from pure integer column expressions so the DuckDB oracle
@@ -130,13 +130,21 @@ def hll_distinct(
     bottom-k, which needs a second ranking pass). One hash agg of
     #distinct rows -> 256-row state -> 1-row fold.
     """
+    # the distinct set feeds the register build AND the certification
+    # count — persist it or both branches re-scan and re-shuffle the
+    # corpus (production drops the exact branch entirely; the persist
+    # holds #distinct rows, the operator's inherent state)
     distinct = (
         values.select(F.col(column).cast("string").alias("val"))
         .filter(F.col("val").isNotNull())
         .distinct()
+        .persist()
     )
     exact = distinct.agg(F.count(F.lit(1)).alias("n_exact"))
-    return hll_from_registers(hll_register_table(distinct, "val", salt), exact)
+    out = hll_from_registers(hll_register_table(distinct, "val", salt), exact)
+    from .checkpointing import finish_with_caches
+
+    return finish_with_caches(out, [distinct], caches)
 
 
 def hll_register_table(
