@@ -1075,6 +1075,23 @@ def _q_components_incremental(spark, sf_dir):
     return incremental_components(old_labels, added)
 
 
+def _q_backlink_report(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        backlink_report,
+        extract_links,
+    )
+
+    return backlink_report(extract_links(doc_pages_hosted(spark, sf_dir)))
+
+
+def _q_orphan_pages(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
+    from wedge_parallel_triangle_counting_spark.plans.ingest import orphan_pages
+
+    return orphan_pages(doc_pages_hosted(spark, sf_dir), k=100)
+
+
 def _q_url_templates(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.plans.docpages import doc_urls_dirty
     from wedge_parallel_triangle_counting_spark.plans.ingest import (
@@ -1606,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_incremental": _q_components_incremental,
         "streaming_countmin": _q_streaming_countmin,
         "ingest_url_templates": _q_url_templates,
+        "ingest_backlink_report": _q_backlink_report,
+        "ingest_orphan_pages": _q_orphan_pages,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
@@ -1849,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
             docpages.doc_edges_snapshot_sql((3, 5, 7))
         ),
         "ingest_url_templates": oracles.url_templates_sql(k=100),
+        "ingest_backlink_report": oracles.backlink_report_sql(k_per_host=3),
+        "ingest_orphan_pages": oracles.orphan_pages_sql(k=100),
         "pagerank_warm_start": oracles.pagerank_warm_sql(
             docpages.doc_edges_snapshot_sql((3, 5, 7)),
             docpages.doc_edges_snapshot_sql(docpages._KS_B),

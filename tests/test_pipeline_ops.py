@@ -469,3 +469,48 @@ def test_streaming_hll_registers_equal_batch_and_fold(spark, tmp_path):
     from_stream = hll_from_registers(streamed, exact).collect()
     from_batch = hll_distinct(toks, "tok").collect()
     assert from_stream == from_batch
+
+
+# -- backlink report / orphan pages -------------------------------------------------
+
+
+def _page(url, hrefs):
+    html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    return (url, f"<html><body>{html}<main>t</main></body></html>".encode())
+
+
+def test_backlink_report_top_referrers(spark):
+    from wedge_parallel_triangle_counting_spark.plans.ingest import (
+        backlink_report,
+        extract_links,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            _page("https://a.com/1", ["https://t.com/x", "https://t.com/y"]),
+            _page("https://a.com/2", ["https://t.com/x"]),
+            _page("https://b.com/1", ["https://t.com/x", "https://t.com/z"]),
+            _page("https://t.com/x", ["https://t.com/y"]),  # intra-host: excluded
+        ],
+        "url string, html binary",
+    )
+    out = [tuple(r) for r in backlink_report(extract_links(pages), 2).collect()]
+    assert out == [
+        ("t.com", "a.com", 3, 1),
+        ("t.com", "b.com", 2, 2),
+    ]
+
+
+def test_orphan_pages_unlinked_only(spark):
+    from wedge_parallel_triangle_counting_spark.plans.ingest import orphan_pages
+
+    pages = spark.createDataFrame(
+        [
+            _page("https://a.com/1", ["https://a.com/2"]),
+            _page("https://a.com/2", []),
+            _page("https://a.com/lonely", []),
+        ],
+        "url string, html binary",
+    )
+    out = [r["url"] for r in orphan_pages(pages).collect()]
+    assert out == ["https://a.com/1", "https://a.com/lonely"]

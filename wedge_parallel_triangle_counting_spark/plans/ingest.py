@@ -274,3 +274,43 @@ def url_templates(urls: DataFrame, url_col: str = "url", k: int = 100) -> DataFr
         .orderBy(F.desc("n_urls"), F.asc("host"), F.asc("template"))
         .limit(k)
     )
+
+
+def backlink_report(links: DataFrame, k_per_host: int = 3) -> DataFrame:
+    """Per target host, the top referring hosts —
+    (dst_host, src_host, n_links, rank), rank 1..k per dst_host by
+    (n_links DESC, src_host ASC), intra-host rows excluded.
+
+    The backlink-profile report (who points at this site): feeds spam
+    forensics (one dominant referrer = link farm) and seed selection.
+    Plan: the host_graph rollup (page-link-sized agg with map-side
+    combine) then ONE window rank over dst_host — Spark plans a
+    WindowGroupLimit below the exchange, so the shuffle carries at
+    most k rows per (dst_host, map partition)."""
+    from pyspark.sql.window import Window
+
+    hg = host_graph(links).filter(F.col("src_host") != F.col("dst_host"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n_links"), F.asc("src_host"))
+    return (
+        hg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_per_host)
+        .select("dst_host", "src_host", "n_links", "rank")
+        .orderBy("dst_host", "rank")
+    )
+
+
+def orphan_pages(pages: DataFrame, k: int = 100) -> DataFrame:
+    """Crawled pages NO crawled page links to — (url), ordered, top k.
+
+    The crawl-hygiene complement of the frontier: orphans are
+    candidates for de-indexing (unreachable content) or evidence the
+    link extractor is missing a link shape. One left-anti join of the
+    page set against the link-target set — both sides hashed on the
+    url, the same join every set-difference at crawl scale pays."""
+    targets = extract_links(pages).select(F.col("dst_url").alias("url"))
+    return (
+        pages.select("url")
+        .join(targets, "url", "left_anti")
+        .orderBy("url")
+        .limit(k)
+    )

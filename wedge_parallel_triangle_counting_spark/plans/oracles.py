@@ -3877,3 +3877,54 @@ FROM t WHERE host <> ''
 GROUP BY host, template
 ORDER BY n_urls DESC, host ASC, template ASC LIMIT {k}
 """.strip()
+
+
+def backlink_report_sql(k_per_host: int = 3) -> str:
+    """Mirrors plans/ingest.py::backlink_report over the
+    doc_pages_hosted link structure (hosts h<doc_id%13>.example,
+    targets (doc_id*k) % 211 for k in 3,5,7)."""
+    link_rows = "\nUNION ALL\n".join(
+        f"SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example' AS src_host, "
+        f"'h' || CAST(((doc_id * {kk}) % 211) % 13 AS VARCHAR) || '.example' AS dst_host "
+        f"FROM documents"
+        for kk in (3, 5, 7)
+    )
+    return f"""
+WITH links AS ({link_rows}),
+hg AS (
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM links WHERE src_host <> dst_host
+    GROUP BY src_host, dst_host
+),
+ranked AS (
+    SELECT dst_host, src_host, n_links,
+           CAST(row_number() OVER (
+               PARTITION BY dst_host ORDER BY n_links DESC, src_host ASC
+           ) AS INTEGER) AS rank
+    FROM hg
+)
+SELECT dst_host, src_host, n_links, rank
+FROM ranked WHERE rank <= {k_per_host}
+ORDER BY dst_host, rank
+""".strip()
+
+
+def orphan_pages_sql(k: int = 100) -> str:
+    """Mirrors plans/ingest.py::orphan_pages over doc_pages_hosted:
+    crawled urls never appearing as a link target."""
+    target_rows = "\nUNION ALL\n".join(
+        f"SELECT 'https://h' || CAST(((doc_id * {kk}) % 211) % 13 AS VARCHAR) || "
+        f"'.example/d/' || CAST((doc_id * {kk}) % 211 AS VARCHAR) AS url FROM documents"
+        for kk in (3, 5, 7)
+    )
+    return f"""
+WITH crawled AS (
+    SELECT 'https://h' || CAST(doc_id % 13 AS VARCHAR) ||
+           '.example/d/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+),
+targets AS ({target_rows})
+SELECT c.url FROM crawled c LEFT JOIN (SELECT DISTINCT url FROM targets) t
+ON c.url = t.url WHERE t.url IS NULL
+ORDER BY c.url LIMIT {k}
+""".strip()
