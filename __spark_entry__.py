@@ -1075,6 +1075,30 @@ def _q_components_incremental(spark, sf_dir):
     return incremental_components(old_labels, added)
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=100)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(spark, sf_dir), context_len=512)
+
+
+def _q_mixture_weights(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    return mixture_weights(_docs(spark, sf_dir))
+
+
 def _q_backlink_report(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.plans.docpages import doc_pages_hosted
     from wedge_parallel_triangle_counting_spark.plans.ingest import (
@@ -1625,6 +1649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_url_templates": _q_url_templates,
         "ingest_backlink_report": _q_backlink_report,
         "ingest_orphan_pages": _q_orphan_pages,
+        "text_bpe_pair_counts": _q_bpe_pairs,
+        "text_pack_sequences": _q_pack_sequences,
+        "text_mixture_weights": _q_mixture_weights,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
@@ -1870,6 +1897,9 @@ def oracle_sql() -> dict[str, str]:
         "ingest_url_templates": oracles.url_templates_sql(k=100),
         "ingest_backlink_report": oracles.backlink_report_sql(k_per_host=3),
         "ingest_orphan_pages": oracles.orphan_pages_sql(k=100),
+        "text_bpe_pair_counts": oracles.bpe_pair_counts_sql(k=100),
+        "text_pack_sequences": oracles.pack_sequences_sql(context_len=512),
+        "text_mixture_weights": oracles.mixture_weights_sql(),
         "pagerank_warm_start": oracles.pagerank_warm_sql(
             docpages.doc_edges_snapshot_sql((3, 5, 7)),
             docpages.doc_edges_snapshot_sql(docpages._KS_B),

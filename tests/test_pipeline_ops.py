@@ -514,3 +514,68 @@ def test_orphan_pages_unlinked_only(spark):
     )
     out = [r["url"] for r in orphan_pages(pages).collect()]
     assert out == ["https://a.com/1", "https://a.com/lonely"]
+
+
+# -- training-prep text ops ------------------------------------------------------
+
+
+def test_bpe_pair_counts(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x")],  # 1-token doc: no pairs
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bpe_pair_counts(docs, k=10).collect()]
+    assert out[0] == ("a", "b", 3)
+    assert ("b", "a", 1) in out and ("b", "c", 1) in out
+    assert len(out) == 3
+
+
+def test_pack_sequences_bins(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    # token counts 3, 4, 5 in doc_id order; context 6:
+    # starts 0, 3, 7 -> bins 0, 0, 1
+    docs = spark.createDataFrame(
+        [(1, "t t t"), (2, "t t t t"), (3, "t t t t t")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in pack_sequences(docs, context_len=6).collect()]
+    assert out == [(0, 2, 7), (1, 1, 5)]
+
+
+def test_mixture_weights_temperature(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t " * 100, "en"), (2, "t " * 100, "en"), (3, "t " * 2, "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["lang"]: r for r in mixture_weights(docs).collect()}
+    # "t "*100 -> trailing space trimmed -> 100 tokens
+    assert out["en"]["total_tokens"] == 200 and out["de"]["total_tokens"] == 2
+    assert out["en"]["sqrt_tokens"] == 14 and out["de"]["sqrt_tokens"] == 1
+    assert out["en"]["weight_ppm"] == 14 * 1_000_000 // 15
+    # temperature flattening: en has 100x the tokens but only 14x the weight
+    assert out["en"]["weight_ppm"] < 100 * out["de"]["weight_ppm"]
+
+
+def test_pack_sequences_partition_independent(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t " * (3 + i % 5)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = [tuple(r) for r in pack_sequences(docs, context_len=32).collect()]
+    b = [tuple(r) for r in pack_sequences(docs.repartition(13), 32).collect()]
+    assert a == b  # the two-pass distributed cumsum is order-stable

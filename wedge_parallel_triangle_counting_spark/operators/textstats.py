@@ -602,3 +602,119 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 100, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The first BPE merge step's statistics: frequencies of ADJACENT
+    token pairs across the corpus — (left, right, n_pairs), top k by
+    (n_pairs DESC, left ASC, right ASC).
+
+    Tokenizer training at corpus scale is exactly this aggregation run
+    repeatedly; the expensive part is the first full-corpus pass, which
+    is what a 100-TB engine must do well: one arrays_zip of the token
+    array with its own tail (no self-join — the pairing happens inside
+    the row), one explode, ONE hash aggregation with map-side combine
+    (natural-language pair skew IS the combiner's best case), TakeOrdered
+    top-k."""
+    toks = _tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+        ),
+    ).otherwise(F.array().cast("array<struct<`0`:string,`1`:string>>"))
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")["0"].alias("left"), F.col("p")["1"].alias("right"))
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("left"), F.asc("right"))
+        .limit(k)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    context_len: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic ORDERED sequence packing: documents are laid out
+    in doc_id order and cut into training sequences of `context_len`
+    tokens; each document is assigned the bin its FIRST token falls
+    into. Returns per-bin stats: (bin, n_docs, n_tokens) ordered by
+    bin — the packing-efficiency report (how many sequences, how full)
+    a pretraining data loader needs before writing shards.
+
+    Greedy best-fit packing is order-dependent and unreproducible
+    across partitionings; the fixed-order layout is the deterministic
+    contract (and what streaming shard writers actually do). Plan: the
+    DISTRIBUTED two-pass exclusive prefix sum (ids.py::
+    attach_cumulative_weight — range partition on doc_id, per-
+    partition totals to the driver, numpy cumsum per partition), NOT
+    a global Window.orderBy, which Spark executes on a single
+    partition; then one hash aggregation on the bin id."""
+    from .checkpointing import finish_with_caches
+    from .ids import attach_cumulative_weight
+
+    n_toks = F.size(_tokens(F.col(text_col))).cast("long")
+    per_doc = docs.select(F.col(id_col).alias("doc_id"), n_toks.alias("n"))
+    caches: list = []
+    laid, _total = attach_cumulative_weight(
+        per_doc, ["doc_id"], "n", out_col="start", caches=caches
+    )
+    out = (
+        # integer DIV, not `/`: the cumulative offset exceeds the
+        # double mantissa long before 10^12 documents
+        laid.select(F.expr(f"start DIV {int(context_len)}").alias("bin"), "n")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .orderBy("bin")
+    )
+    return finish_with_caches(out, caches)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-sampled (alpha = 0.5) dataset-mixture weights per
+    stratum: weight proportional to sqrt(total tokens) — the standard
+    down-weighting of dominant languages/sources when mixing a
+    multilingual corpus. Returns (lang, total_tokens, sqrt_tokens,
+    weight_ppm) ordered by stratum.
+
+    Determinism note: IEEE-754 REQUIRES sqrt to be correctly rounded
+    (unlike ln/exp, which differ in the last ulp across engines — the
+    repo-wide reason transcendentals are banned from certified
+    outputs), so floor(sqrt(bigint)) is bit-identical cross-engine;
+    the normalization then stays in pure integer arithmetic
+    (weight_ppm = sqrt_i * 1e6 DIV sum(sqrt))."""
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    per = (
+        docs.select(F.col(stratum_col).alias("lang"), toks.alias("t"))
+        .groupBy("lang")
+        .agg(F.sum("t").alias("total_tokens"))
+        .select(
+            "lang",
+            "total_tokens",
+            F.floor(F.sqrt(F.col("total_tokens").cast("double"))).cast("long").alias(
+                "sqrt_tokens"
+            ),
+        )
+    )
+    total = per.agg(F.sum("sqrt_tokens").alias("denom"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "total_tokens",
+            "sqrt_tokens",
+            F.expr("sqrt_tokens * 1000000 DIV denom").alias("weight_ppm"),
+        )
+        .orderBy("lang")
+    )

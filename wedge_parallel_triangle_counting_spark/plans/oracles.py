@@ -3928,3 +3928,68 @@ SELECT c.url FROM crawled c LEFT JOIN (SELECT DISTINCT url FROM targets) t
 ON c.url = t.url WHERE t.url IS NULL
 ORDER BY c.url LIMIT {k}
 """.strip()
+
+
+def bpe_pair_counts_sql(k: int = 100) -> str:
+    """Mirrors operators/textstats.py::bpe_pair_counts — adjacent
+    token pairs via positional zip of the token array with its tail."""
+    return rf"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT t[i] AS lft, t[i + 1] AS rgt
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    WHERE len(t) >= 2
+)
+SELECT lft AS "left", rgt AS "right", CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY lft, rgt
+ORDER BY n_pairs DESC, lft ASC, rgt ASC LIMIT {k}
+""".strip()
+
+
+def pack_sequences_sql(context_len: int = 512) -> str:
+    """Mirrors operators/textstats.py::pack_sequences — doc_id-ordered
+    token cumsum, bin = start DIV context_len."""
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+    FROM documents
+),
+laid AS (
+    SELECT n,
+           coalesce(sum(n) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start
+    FROM toks
+)
+SELECT start // {context_len} AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens
+FROM laid GROUP BY bin ORDER BY bin
+""".strip()
+
+
+def mixture_weights_sql() -> str:
+    """Mirrors operators/textstats.py::mixture_weights — IEEE sqrt is
+    correctly rounded (deterministic cross-engine, unlike ln/exp), the
+    rest is integer arithmetic."""
+    return r"""
+WITH per AS (
+    SELECT lang,
+           CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM documents GROUP BY lang
+),
+rooted AS (
+    SELECT lang, total_tokens,
+           CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS sqrt_tokens
+    FROM per
+),
+total AS (SELECT CAST(sum(sqrt_tokens) AS BIGINT) AS denom FROM rooted)
+SELECT lang, total_tokens, sqrt_tokens,
+       CAST(sqrt_tokens * 1000000 // denom AS BIGINT) AS weight_ppm
+FROM rooted CROSS JOIN total ORDER BY lang
+""".strip()
