@@ -1075,6 +1075,42 @@ def _q_components_incremental(spark, sf_dir):
     return incremental_components(old_labels, added)
 
 
+def _q_bloom_url_seen(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        doc_pages_hosted,
+        doc_pages_with_frontier,
+    )
+    from wedge_parallel_triangle_counting_spark.plans.ingest import extract_links
+
+    crawled = doc_pages_hosted(spark, sf_dir).select("url")
+    filt = bloom_positions(crawled, "url")
+    targets = (
+        extract_links(doc_pages_with_frontier(spark, sf_dir))
+        .select(F.col("dst_url").alias("url"))
+        .distinct()
+    )
+    probed = bloom_probe(filt, targets, "url").withColumnRenamed("val", "url")
+    truly = crawled.distinct().withColumn("t", F.lit(True))
+    return (
+        probed.join(truly, "url", "left")
+        .select(
+            "url",
+            "maybe_seen",
+            F.coalesce("t", F.lit(False)).alias("truly_seen"),
+            (F.col("maybe_seen") & ~F.coalesce("t", F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+        .orderBy("url")
+    )
+
+
 def _q_bpe_pairs(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         bpe_pair_counts,
@@ -1649,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_url_templates": _q_url_templates,
         "ingest_backlink_report": _q_backlink_report,
         "ingest_orphan_pages": _q_orphan_pages,
+        "web_bloom_url_seen": _q_bloom_url_seen,
         "text_bpe_pair_counts": _q_bpe_pairs,
         "text_pack_sequences": _q_pack_sequences,
         "text_mixture_weights": _q_mixture_weights,
@@ -1897,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_url_templates": oracles.url_templates_sql(k=100),
         "ingest_backlink_report": oracles.backlink_report_sql(k_per_host=3),
         "ingest_orphan_pages": oracles.orphan_pages_sql(k=100),
+        "web_bloom_url_seen": oracles.bloom_url_seen_sql(),
         "text_bpe_pair_counts": oracles.bpe_pair_counts_sql(k=100),
         "text_pack_sequences": oracles.pack_sequences_sql(context_len=512),
         "text_mixture_weights": oracles.mixture_weights_sql(),

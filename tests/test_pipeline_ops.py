@@ -579,3 +579,39 @@ def test_pack_sequences_partition_independent(spark):
     a = [tuple(r) for r in pack_sequences(docs, context_len=32).collect()]
     b = [tuple(r) for r in pack_sequences(docs.repartition(13), 32).collect()]
     assert a == b  # the two-pass distributed cumsum is order-stable
+
+
+# -- bloom filter ------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_probe(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+    )
+
+    members = _strs(spark, [f"url{i}" for i in range(300)])
+    filt = bloom_positions(members, "val")
+    probes = _strs(spark, [f"url{i}" for i in range(280, 320)] + ["other"])
+    out = {r["val"]: r["maybe_seen"] for r in bloom_probe(filt, probes, "val").collect()}
+    # every member MUST be found (no false negatives)
+    for i in range(280, 300):
+        assert out[f"url{i}"] is True
+    # with n=300, m=65536, k=5 the fp rate is ~1e-7 — the 21
+    # non-members are virtually certainly all clean
+    misses = [f"url{i}" for i in range(300, 320)] + ["other"]
+    assert sum(1 for u in misses if out[u]) == 0
+
+
+def test_bloom_partition_independent(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        bloom_positions,
+    )
+
+    vals = [f"u{i}" for i in range(200)]
+    a = sorted(r["pos"] for r in bloom_positions(_strs(spark, vals), "val").collect())
+    b = sorted(
+        r["pos"]
+        for r in bloom_positions(_strs(spark, vals).repartition(9), "val").collect()
+    )
+    assert a == b

@@ -317,3 +317,86 @@ def countmin_probe(
         )
         .orderBy(F.desc("n_exact"), F.asc("val"))
     )
+
+
+# -- Bloom filter ----------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 5
+
+
+def bloom_positions(
+    values: DataFrame,
+    column: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """The filter's SET BIT POSITIONS as a 1-column table (pos) — the
+    relational form of the bit array (dense packing into longs is a
+    storage detail; the positions relation is what joins). Bit i of
+    value v is md5("bloom<i>:<v>") % m — the same expression both
+    engines compute, so the filter is deterministic, and two filters
+    union by... union (bit OR == set union of positions). At most
+    m_bits rows regardless of input size: the crawl's url-seen state
+    in 2^16 rows."""
+    vals = values.select(F.col(column).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    hashes = F.array(*[F.lit(i) for i in range(k_hashes)])
+    return (
+        vals.select(F.explode(hashes).alias("i"), "val")
+        .select(
+            (
+                _h64(
+                    F.concat_ws(
+                        ":", F.concat(F.lit(salt), F.col("i")), F.col("val")
+                    )
+                )
+                % m_bits
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    positions: DataFrame,
+    probes: DataFrame,
+    column: str,
+    m_bits: int = BLOOM_BITS,
+    k_hashes: int = BLOOM_HASHES,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Membership test: a probe value is maybe_seen iff ALL k of its
+    bit positions are set. Returns (val, maybe_seen). The positions
+    table is m_bits rows max — broadcast it; the probe side is never
+    shuffled. False positives are the sketch contract (rate ≈
+    (1 - e^{-kn/m})^k); false negatives are impossible, which is the
+    property a url-seen filter actually relies on (never re-crawl
+    what was crawled; occasionally skip a new url)."""
+    vals = probes.select(F.col(column).cast("string").alias("val")).filter(
+        F.col("val").isNotNull()
+    )
+    hashes = F.array(*[F.lit(i) for i in range(k_hashes)])
+    pb = vals.select(
+        "val",
+        F.explode(hashes).alias("i"),
+    ).select(
+        "val",
+        (
+            _h64(F.concat_ws(":", F.concat(F.lit(salt), F.col("i")), F.col("val")))
+            % m_bits
+        ).alias("pos"),
+    )
+    hit = pb.join(F.broadcast(positions), "pos").groupBy("val").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        vals.distinct()
+        .join(hit, "val", "left")
+        .select(
+            "val",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes).alias("maybe_seen"),
+        )
+    )

@@ -3993,3 +3993,49 @@ SELECT lang, total_tokens, sqrt_tokens,
        CAST(sqrt_tokens * 1000000 // denom AS BIGINT) AS weight_ppm
 FROM rooted CROSS JOIN total ORDER BY lang
 """.strip()
+
+
+def bloom_url_seen_sql(m_bits: int = 1 << 16, k_hashes: int = 5) -> str:
+    """Mirrors the bloom url-seen composition: filter built over the
+    crawled urls (doc_pages_hosted), probed with every link target of
+    doc_pages_with_frontier (internal + external); false positives are
+    the sketch contract, false negatives impossible."""
+    h = _h64("'bloom' || CAST(i AS VARCHAR) || ':' || url")
+    crawled_url = (
+        "'https://h' || CAST(doc_id % 13 AS VARCHAR) || '.example/d/' || "
+        "CAST(doc_id AS VARCHAR)"
+    )
+    internal_targets = "\nUNION ALL\n".join(
+        f"SELECT 'https://h' || CAST(((doc_id * {kk}) % 211) % 13 AS VARCHAR) || "
+        f"'.example/d/' || CAST((doc_id * {kk}) % 211 AS VARCHAR) AS url FROM documents"
+        for kk in (3, 5, 7)
+    )
+    return f"""
+WITH crawled AS (SELECT DISTINCT {crawled_url} AS url FROM documents),
+hs AS (SELECT unnest(generate_series(0, {k_hashes - 1})) AS i),
+positions AS (
+    SELECT DISTINCT {h} % {m_bits} AS pos FROM crawled CROSS JOIN hs
+),
+targets AS (
+    SELECT DISTINCT url FROM (
+{internal_targets}
+UNION ALL
+SELECT 'https://ext.example/p/' || CAST((doc_id * 11) % 97 AS VARCHAR) AS url
+FROM documents
+    ) t
+),
+hits AS (
+    SELECT t.url, count(*) AS n_hit
+    FROM targets t CROSS JOIN hs
+    JOIN positions p ON {_h64("'bloom' || CAST(i AS VARCHAR) || ':' || t.url")} % {m_bits} = p.pos
+    GROUP BY t.url
+)
+SELECT t.url,
+       coalesce(h.n_hit, 0) = {k_hashes} AS maybe_seen,
+       c.url IS NOT NULL AS truly_seen,
+       (coalesce(h.n_hit, 0) = {k_hashes}) AND c.url IS NULL AS false_positive
+FROM targets t
+LEFT JOIN hits h ON h.url = t.url
+LEFT JOIN crawled c ON c.url = t.url
+ORDER BY t.url
+""".strip()
