@@ -615,3 +615,41 @@ def test_bloom_partition_independent(spark):
         for r in bloom_positions(_strs(spark, vals).repartition(9), "val").collect()
     )
     assert a == b
+
+
+def test_sketch_merges_equal_whole_input_sketches(spark):
+    from wedge_parallel_triangle_counting_spark.operators.sketches import (
+        bloom_merge,
+        bloom_positions,
+        countmin_merge,
+        countmin_sketch_table,
+        hll_merge,
+        hll_register_table,
+    )
+
+    a = [f"v{i}" for i in range(200)]
+    b = [f"v{i}" for i in range(150, 400)]  # overlaps a
+    whole = _strs(spark, a + b)
+    # HLL: merge of sketches == sketch of the union (max-stable)
+    m = hll_merge(
+        hll_register_table(_strs(spark, a), "val"),
+        hll_register_table(_strs(spark, b), "val"),
+    )
+    w = hll_register_table(_strs(spark, sorted(set(a + b))), "val")
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, w.collect()))
+    # count-min: merge of shard sketches == sketch of the concatenation
+    cm = countmin_merge(
+        countmin_sketch_table(_strs(spark, a), "val"),
+        countmin_sketch_table(_strs(spark, b), "val"),
+    )
+    cw = countmin_sketch_table(whole, "val")
+    assert sorted(map(tuple, cm.collect())) == sorted(map(tuple, cw.collect()))
+    # bloom: OR == union of positions
+    bm = bloom_merge(
+        bloom_positions(_strs(spark, a), "val"),
+        bloom_positions(_strs(spark, b), "val"),
+    )
+    bw = bloom_positions(whole, "val")
+    assert sorted(r["pos"] for r in bm.collect()) == sorted(
+        r["pos"] for r in bw.collect()
+    )

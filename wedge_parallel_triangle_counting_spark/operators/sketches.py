@@ -400,3 +400,38 @@ def bloom_probe(
             (F.coalesce(F.col("n_hit"), F.lit(0)) == k_hashes).alias("maybe_seen"),
         )
     )
+
+
+# -- sketch merges ---------------------------------------------------------
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL register tables by elementwise max — the merge a
+    tree aggregation / multi-datacenter rollup performs. The merged
+    table estimates the cardinality of the UNION of the inputs'
+    underlying sets (registers are max-stable, so merging sketches of
+    overlapping sets never double-counts)."""
+    it = iter(register_tables)
+    out = next(it)
+    for regs in it:
+        out = out.unionByName(regs)
+    return out.groupBy("reg").agg(F.max("m_j").alias("m_j"))
+
+
+def countmin_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Add count-min counter tables — the merge of shard-local
+    sketches; estimates over the merged table cover the concatenated
+    streams (counters are linear)."""
+    it = iter(counter_tables)
+    out = next(it)
+    for cnts in it:
+        out = out.unionByName(cnts)
+    return out.groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def bloom_merge(*position_tables: DataFrame) -> DataFrame:
+    """OR bloom filters = union their set-bit positions."""
+    it = iter(position_tables)
+    out = next(it)
+    for pos in it:
+        out = out.unionByName(pos)
+    return out.distinct()
