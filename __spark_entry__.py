@@ -1060,6 +1060,45 @@ def _q_streaming_countmin(spark, sf_dir):
     return countmin_probe(sketch, probes)
 
 
+def _q_rank_churn(spark, sf_dir):
+    # top movers between the two crawl snapshots: previous published
+    # ranks vs the warm-started re-rank on the new graph — the report
+    # a freshness/anti-spam reviewer reads after every crawl
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.plans.docpages import (
+        _KS_B,
+        doc_edges_snapshot,
+    )
+
+    old = doc_edges_snapshot(spark, sf_dir, (3, 5, 7))
+    new = doc_edges_snapshot(spark, sf_dir, _KS_B)
+    pr_old = pagerank(old, num_iters=PR_WARM_OLD_ITERS).select(
+        "v", F.round("pr", 6).alias("pr_old")
+    )
+    pr_new = pagerank(
+        new,
+        num_iters=PR_WARM_NEW_ITERS,
+        init_ranks=pr_old.select("v", F.col("pr_old").alias("pr")),
+    ).select("v", F.round("pr", 6).alias("pr_new"))
+    # floor() of identical doubles is identical cross-engine; CAST of
+    # a near-integer double is NOT (Spark truncates, DuckDB rounds)
+    return (
+        pr_old.join(pr_new, "v")
+        .select(
+            "v",
+            "pr_old",
+            "pr_new",
+            (
+                F.floor(F.col("pr_new") * 1_000_000)
+                - F.floor(F.col("pr_old") * 1_000_000)
+            ).cast("long").alias("delta_micro"),
+        )
+        .orderBy(F.abs(F.col("delta_micro")).desc(), F.asc("v"))
+        .limit(20)
+    )
+
+
 def _q_components_incremental(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.components import (
         incremental_components,
@@ -1680,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_crawl_frontier": _q_crawl_frontier,
         "ingest_edge_churn": _q_edge_churn,
         "pagerank_warm_start": _q_pagerank_warm,
+        "pagerank_rank_churn": _q_rank_churn,
         "components_incremental": _q_components_incremental,
         "streaming_countmin": _q_streaming_countmin,
         "ingest_url_templates": _q_url_templates,
@@ -1938,6 +1978,12 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_pair_counts": oracles.bpe_pair_counts_sql(k=100),
         "text_pack_sequences": oracles.pack_sequences_sql(context_len=512),
         "text_mixture_weights": oracles.mixture_weights_sql(),
+        "pagerank_rank_churn": oracles.rank_churn_sql(
+            docpages.doc_edges_snapshot_sql((3, 5, 7)),
+            docpages.doc_edges_snapshot_sql(docpages._KS_B),
+            iters_old=PR_WARM_OLD_ITERS,
+            iters_new=PR_WARM_NEW_ITERS,
+        ),
         "pagerank_warm_start": oracles.pagerank_warm_sql(
             docpages.doc_edges_snapshot_sql((3, 5, 7)),
             docpages.doc_edges_snapshot_sql(docpages._KS_B),

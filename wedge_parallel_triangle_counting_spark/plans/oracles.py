@@ -4039,3 +4039,30 @@ LEFT JOIN hits h ON h.url = t.url
 LEFT JOIN crawled c ON c.url = t.url
 ORDER BY t.url
 """.strip()
+
+
+def rank_churn_sql(
+    old_sql: str,
+    new_sql: str,
+    iters_old: int,
+    iters_new: int,
+    k: int = 20,
+) -> str:
+    """Mirrors the rank-churn composition: previous ranks (full
+    schedule on the old graph) joined to the warm-started re-rank on
+    the new graph, top-k absolute movers in integer micro-rank.
+    floor() of identical doubles is cross-engine identical; CAST of a
+    near-integer double is not (truncate vs round)."""
+    o = pagerank_sql(old_sql, iters_old)
+    n = pagerank_warm_sql(old_sql, new_sql, iters_old, iters_new)
+    return f"""
+WITH o AS ({o}),
+n AS ({n})
+SELECT o.v, o.pr AS pr_old, n.pr AS pr_new,
+       CAST(floor(n.pr * 1000000) - floor(o.pr * 1000000) AS BIGINT)
+           AS delta_micro
+FROM o JOIN n ON n.v = o.v
+ORDER BY abs(CAST(floor(n.pr * 1000000) - floor(o.pr * 1000000) AS BIGINT)) DESC,
+         o.v ASC
+LIMIT {k}
+""".strip()
