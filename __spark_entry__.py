@@ -189,6 +189,24 @@ def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_triangle_counts(testdata.derived_edges(spark, sf_dir))
 
 
+def _q_clustering_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.clustering import (
+        clustering_by_degree,
+    )
+
+    return clustering_by_degree(testdata.derived_edges(spark, sf_dir))
+
+
+def _q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+        pagerank_convergence,
+    )
+
+    return pagerank_convergence(
+        testdata.derived_pagerank_edges(spark, sf_dir), num_iters=PAGERANK_ITERS
+    )
+
+
 KCORE_K = 45  # on the sf0.01 iter graph this peels some-but-not-all
 # vertices over multiple rounds (k=3 would be a no-op on these dense
 # modulus-derived fixtures)
@@ -1284,6 +1302,24 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), k=5, query_limit=10, n_clusters=8, nprobe=2)
 
 
+def _q_ivf_recall(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.evaluation import (
+        ivf_recall_eval,
+    )
+
+    return ivf_recall_eval(
+        _emb(spark, sf_dir), k=5, query_limit=10, n_clusters=8, nprobe=2
+    )
+
+
+def _q_lsh_dedup_eval(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.evaluation import (
+        lsh_dedup_eval,
+    )
+
+    return lsh_dedup_eval(_docs(spark, sf_dir))
+
+
 def _q_kmeans_pp(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.kmeans import kmeans_assign
 
@@ -1619,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled": _q_triangles_sampled,
         "triangles_doulion": _q_tri_doulion,
         "graph_local_clustering": _q_local_clustering,
+        "graph_clustering_curve": _q_clustering_curve,
         "graph_kcore": _q_kcore,
         "graph_coreness": _q_coreness,
         "graph_edge_support": _q_edge_support,
@@ -1646,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": _q_matching,
         "graph_coloring": _q_coloring,
         "pagerank": _q_pagerank,
+        "pagerank_convergence": _q_pagerank_convergence,
         "hits": _q_hits,
         "graph_eigencentrality": _q_eigencentrality,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -1679,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "dedup_substring": _q_substring_dups,
         "dedup_minhash_lsh": _q_minhash_lsh,
+        "dedup_lsh_eval": _q_lsh_dedup_eval,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1736,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _q_kmeans,
         "embedding_kmeans_pp": _q_kmeans_pp,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_recall": _q_ivf_recall,
         "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
@@ -1774,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_sampled": oracles.triangles_sampled_sql(),
         "triangles_doulion": oracles.doulion_sql(),
         "graph_local_clustering": oracles.local_clustering_sql(),
+        "graph_clustering_curve": oracles.clustering_by_degree_sql(),
         "graph_coreness": oracles.coreness_sql(
             testdata.derived_pagerank_edges_sql(), CORENESS_ROUNDS
         ),
@@ -1855,6 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oracles.pagerank_sql(
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
+        "pagerank_convergence": oracles.pagerank_residuals_sql(
+            testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
+        ),
         "hits": oracles.hits_sql(
             testdata.derived_pagerank_edges_sql(), HITS_ITERS
         ),
@@ -1927,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracles.ngram_jaccard_sql(),
         "dedup_substring": oracles.substring_dup_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
+        "dedup_lsh_eval": oracles.lsh_dedup_eval_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_simhash_near_pairs": oracles.simhash_near_pairs_sql(),
         "dedup_clusters": oracles.components_sql(
@@ -2025,6 +2070,9 @@ def oracle_sql() -> dict[str, str]:
             k=8, num_iters=3, init="farthest"
         ),
         "ann_ivf_topk": oracles.ivf_topk_sql(
+            k=5, query_limit=10, n_clusters=8, nprobe=2
+        ),
+        "ann_ivf_recall": oracles.ivf_recall_sql(
             k=5, query_limit=10, n_clusters=8, nprobe=2
         ),
         "ann_ivf_pq_topk": oracles.ivf_pq_topk_sql(

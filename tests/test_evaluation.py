@@ -1,0 +1,153 @@
+"""Evaluation-layer operators: LSH-dedup recall/precision and IVF
+recall against their exact ground truths, plus the clustering-by-degree
+curve and PageRank convergence residuals."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import BARBELL, K4, STAR10, edges_df
+from wedge_parallel_triangle_counting_spark.operators.clustering import (
+    clustering_by_degree,
+)
+from wedge_parallel_triangle_counting_spark.operators.evaluation import (
+    ivf_recall_eval,
+    lsh_dedup_eval,
+)
+from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+    pagerank_convergence,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog today"),
+    (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+    (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (3, "der hund und die katze ist ein tier mit fell heute"),
+    (4, "completely different words entirely unrelated content here now"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_lsh_dedup_eval_identical_docs_full_recall(spark):
+    row = lsh_dedup_eval(_docs(spark)).collect()[0]
+    # (0,1) are byte-identical: in truth at any threshold AND share
+    # every band signature, so at least that pair is hit
+    assert row.n_truth >= 1
+    assert row.n_hits >= 1
+    assert row.n_hits <= min(row.n_truth, row.n_candidates)
+    assert row.recall_ppm == row.n_hits * 1_000_000 // row.n_truth
+    assert row.precision_ppm == row.n_hits * 1_000_000 // row.n_candidates
+    assert 0 <= row.recall_ppm <= 1_000_000
+    assert 0 <= row.precision_ppm <= 1_000_000
+
+
+def test_lsh_dedup_eval_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = lsh_dedup_eval(empty).collect()[0]
+    assert (row.n_truth, row.n_candidates, row.n_hits) == (0, 0, 0)
+    assert (row.recall_ppm, row.precision_ppm) == (0, 0)
+
+
+def _emb(spark, n=20, dim=4):
+    # deterministic integer-ish vectors, distinct directions
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 + 1) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_recall_probe_all_lists_is_exact(spark):
+    # nprobe == n_clusters probes every inverted list, so the IVF
+    # candidate set contains the whole corpus and recall must be 10⁶
+    out = ivf_recall_eval(
+        _emb(spark), k=3, query_limit=4, n_clusters=2, nprobe=2
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_truth == 3
+        assert r.n_hits == 3
+        assert r.recall_ppm == 1_000_000
+
+
+def test_ivf_recall_bounds(spark):
+    out = ivf_recall_eval(
+        _emb(spark), k=3, query_limit=4, n_clusters=4, nprobe=1
+    ).collect()
+    assert len(out) == 4  # every query keeps a row even at 0 hits
+    for r in out:
+        assert 0 <= r.n_hits <= r.n_truth == 3
+        assert r.recall_ppm == r.n_hits * 1_000_000 // 3
+
+
+def test_clustering_by_degree_k4(spark):
+    rows = clustering_by_degree(edges_df(spark, K4)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # K4: every vertex degree 3, 3 triangles through each corner
+    assert (r.degree, r.n_vertices, r.total_triangles) == (3, 4, 12)
+    assert r.closed_ppm == 1_000_000
+
+
+def test_clustering_by_degree_star(spark):
+    rows = {r.degree: r for r in clustering_by_degree(edges_df(spark, STAR10)).collect()}
+    assert rows[1].n_vertices == 10 and rows[1].closed_ppm == 0
+    assert rows[10].n_vertices == 1 and rows[10].total_triangles == 0
+    assert rows[10].closed_ppm == 0
+
+
+def test_clustering_by_degree_consistent_with_lcc(spark):
+    from wedge_parallel_triangle_counting_spark.operators.clustering import (
+        local_triangle_counts,
+    )
+
+    e = edges_df(spark, BARBELL)
+    per_v = local_triangle_counts(e).collect()
+    curve = clustering_by_degree(e).collect()
+    assert sum(r.total_triangles for r in curve) == sum(r.tri_count for r in per_v)
+    assert sum(r.n_vertices for r in curve) == len(per_v)
+
+
+def test_pagerank_convergence_residuals_decay(spark):
+    e = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (4, 3)])
+    out = sorted(
+        pagerank_convergence(e, num_iters=5).collect(), key=lambda r: r.iter
+    )
+    assert [r.iter for r in out] == [1, 2, 3, 4, 5]
+    res = [r.l1_residual for r in out]
+    assert all(x >= 0 for x in res)
+    assert res[0] > 0
+    # damping contracts the iteration: the tail residual is far below
+    # the head (geometric decay; allow non-strict single steps)
+    assert res[-1] < res[0]
+    assert res[-1] <= 0.85 ** 2 * res[0] + 1e-9
+
+
+def test_pagerank_convergence_matches_tol_delta(spark):
+    # the residual column is the same statistic the tol path computes
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import pagerank
+
+    e = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (4, 3)])
+    frames: list = []
+    pr = pagerank(e, num_iters=3, residuals_out=frames)
+    # tracked run returns the SAME final ranks as a plain run
+    plain = pagerank(e, num_iters=3)
+    a = {r.v: r.pr for r in pr.collect()}
+    b = {r.v: r.pr for r in plain.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[v] - b[v]) < 1e-12 for v in a)
+    assert len(frames) == 3
+    for i, f in enumerate(frames, start=1):
+        row = f.collect()[0]
+        assert row.iter == i
+        assert row.l1_residual >= 0
+
+
+def test_pagerank_convergence_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_convergence(empty, num_iters=3).count() == 0

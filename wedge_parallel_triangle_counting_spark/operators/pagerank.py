@@ -91,6 +91,7 @@ def pagerank(
     sources: list[int] | None = None,
     weight_col: str | None = None,
     init_ranks: DataFrame | None = None,
+    residuals_out: list | None = None,
 ) -> DataFrame:
     """Returns DataFrame [v: long, pr: double]. Runs `num_iters`
     iterations, or stops earlier when the L1 delta falls below `tol`
@@ -107,6 +108,13 @@ def pagerank(
     rows sum their weights, and a link's share of pr(u) is
     w(u,v) / Σ_x w(u,x) instead of 1/outdeg(u) — the natural semantics
     for a host-graph rollup where the weight is the link count.
+
+    `residuals_out`, when a list, receives one 1-row DataFrame
+    (iter, l1_residual) per iteration — the convergence diagnostic
+    (round-6 L1 delta between consecutive rank vectors). Tracking
+    makes each iteration's checkpoint EAGER so every intermediate
+    state is materialized once and each residual aggregate reads two
+    cached states instead of recomputing the loop prefix.
 
     `init_ranks` (v, pr) WARM-STARTS the power iteration: vertices
     present in it start from the given value, new vertices from the
@@ -193,7 +201,7 @@ def pagerank(
     # all reps same sign.
     ranks = _iterate(
         loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol,
-        weighted=weight_col is not None,
+        weighted=weight_col is not None, residuals=residuals_out,
     )
     e.unpersist()
     outdeg.unpersist()
@@ -202,7 +210,7 @@ def pagerank(
 
 def _iterate(
     loop, e, outdeg, ranks, s_col, base, damping, n, start, num_iters, tol,
-    weighted=False,
+    weighted=False, residuals=None,
 ):
     for it in range(start, num_iters):
         # dangling mass as a 1-row aggregate cross-joined into the plan
@@ -252,7 +260,24 @@ def _iterate(
         # the next action (the following iteration's dangling broadcast,
         # the delta check, or the caller's terminal action) — one fewer
         # job per iteration
-        new_ranks = loop.step(new_ranks, it, eager=False)
+        new_ranks = loop.step(new_ranks, it, eager=residuals is not None)
+        if residuals is not None:
+            # eager: the 1-row aggregate must be computed while the
+            # static caches and both rank states are live — the caller
+            # reads the list only after pagerank() released them
+            residuals.append(
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "v")
+                .agg(
+                    F.round(
+                        F.sum(F.abs(F.col("a.pr") - F.col("b.pr"))), 6
+                    ).alias("l1_residual")
+                )
+                .select(
+                    F.lit(it + 1).cast("long").alias("iter"), "l1_residual"
+                )
+                .localCheckpoint(eager=True)
+            )
         delta = None
         if tol is not None:
             delta = (
@@ -270,6 +295,28 @@ def _iterate(
     # released (same contract as triangle_count)
     ranks.count()
     return ranks
+
+
+def pagerank_convergence(
+    edges: DataFrame, num_iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Per-iteration convergence diagnostics of the power iteration:
+    (iter, l1_residual) with l1_residual = Σ_v |r_i(v) − r_{i−1}(v)|
+    rounded to 6 dp — the report an operator watches to pick the
+    production iteration budget (the geometric decay slope ≈ damping)
+    and the basis for tol-based early exit.
+
+    Runs the REAL pagerank loop (same plan, eager per-iteration
+    checkpoints) and unions the tracked 1-row residual aggregates;
+    output cardinality = num_iters."""
+    from functools import reduce
+
+    frames: list[DataFrame] = []
+    pagerank(edges, num_iters=num_iters, damping=damping, residuals_out=frames)
+    spark = edges.sparkSession
+    if not frames:
+        return spark.createDataFrame([], "iter long, l1_residual double")
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def spam_mass(

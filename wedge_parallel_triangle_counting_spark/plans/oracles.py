@@ -818,24 +818,15 @@ def eigencentrality_sql(raw_sql: str, num_iters: int, ndigits: int = 6) -> str:
     )
 
 
-def pagerank_sql(
+def _pagerank_ctes(
     raw_sql: str,
     num_iters: int,
     damping: float = 0.85,
-    ndigits: int = 6,
     sources: list[int] | None = None,
     weighted: bool = False,
-) -> str:
-    """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
-    DuckDB's recursive CTEs can't aggregate over the recursive
-    relation, so the power iteration is generated iteration by
-    iteration. Semantics identical to operators/pagerank.py,
-    including the personalized variant when `sources` is given
-    (teleport + dangling mass to the source set) and the weighted
-    variant when `weighted` (raw must carry `w`; duplicate (src, dst)
-    rows sum their weights, link share = w / Σ outgoing w).
-    Output rounded to `ndigits` so Spark/DuckDB float noise doesn't
-    break the driver's exact value-hash."""
+) -> list[str]:
+    """Shared CTE chain of pagerank_sql / pagerank_residuals_sql:
+    raw → e → vs/nn/od → r0 … r{num_iters} unrolled power iteration."""
     d = damping
     if weighted:
         e_cte = "e AS (SELECT src, dst, SUM(w) AS w FROM raw GROUP BY src, dst)"
@@ -896,11 +887,53 @@ def pagerank_sql(
             ) c ON c.v = od.v
         )"""
         )
+    return ctes
+
+
+def pagerank_sql(
+    raw_sql: str,
+    num_iters: int,
+    damping: float = 0.85,
+    ndigits: int = 6,
+    sources: list[int] | None = None,
+    weighted: bool = False,
+) -> str:
+    """PageRank with `num_iters` iterations UNROLLED as chained CTEs —
+    DuckDB's recursive CTEs can't aggregate over the recursive
+    relation, so the power iteration is generated iteration by
+    iteration. Semantics identical to operators/pagerank.py,
+    including the personalized variant when `sources` is given
+    (teleport + dangling mass to the source set) and the weighted
+    variant when `weighted` (raw must carry `w`; duplicate (src, dst)
+    rows sum their weights, link share = w / Σ outgoing w).
+    Output rounded to `ndigits` so Spark/DuckDB float noise doesn't
+    break the driver's exact value-hash."""
+    ctes = _pagerank_ctes(raw_sql, num_iters, damping, sources, weighted)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT v, round(pr, {ndigits}) AS pr FROM r{num_iters}"
     )
+
+
+def pagerank_residuals_sql(
+    raw_sql: str,
+    num_iters: int,
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> str:
+    """Mirrors operators/pagerank.py::pagerank_convergence: the same
+    unrolled power-iteration chain, emitting per-iteration L1 deltas
+    (iter, l1_residual = round(Σ_v |r_i − r_{i−1}|, ndigits))."""
+    ctes = _pagerank_ctes(raw_sql, num_iters, damping)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS iter,"
+        f" round((SELECT sum(abs(a.pr - b.pr))"
+        f" FROM r{i} a JOIN r{i - 1} b ON a.v = b.v), {ndigits})"
+        f" AS l1_residual"
+        for i in range(1, num_iters + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
 
 
 def spam_mass_sql(
@@ -4065,4 +4098,108 @@ FROM o JOIN n ON n.v = o.v
 ORDER BY abs(CAST(floor(n.pr * 1000000) - floor(o.pr * 1000000) AS BIGINT)) DESC,
          o.v ASC
 LIMIT {k}
+""".strip()
+
+
+def clustering_by_degree_sql(raw_sql: str | None = None) -> str:
+    """Mirrors operators/clustering.py::clustering_by_degree — the
+    c(k) curve with the per-class closed-wedge ratio in exact integer
+    ppm (independent canonical-edge 3-path formulation, as
+    local_clustering_sql)."""
+    raw_sql = raw_sql or derived_edges_sql()
+    return f"""
+WITH raw AS ({raw_sql}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+    FROM raw WHERE src <> dst
+),
+deg AS (
+    SELECT v, count(*) AS degree FROM (
+        SELECT src AS v FROM und UNION ALL SELECT dst AS v FROM und
+    ) GROUP BY v
+),
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM und e1
+    JOIN und e2 ON e1.dst = e2.src
+    JOIN und e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+corners AS (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT v, count(*) AS t FROM corners GROUP BY v),
+pv AS (
+    SELECT d.degree, CAST(coalesce(t, 0) AS BIGINT) AS t
+    FROM deg d LEFT JOIN tcnt ON d.v = tcnt.v
+)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(t) AS BIGINT) AS total_triangles,
+       CAST(CASE WHEN degree >= 2
+            THEN sum(t) * 2 * 1000000 // (count(*) * degree * (degree - 1))
+            ELSE 0 END AS BIGINT) AS closed_ppm
+FROM pv GROUP BY degree
+""".strip()
+
+
+def lsh_dedup_eval_sql(
+    threshold: float = 0.5, max_shingle_freq: int = 1000
+) -> str:
+    """Mirrors operators/evaluation.py::lsh_dedup_eval — recall and
+    precision (exact integer ppm) of the banded-MinHash-LSH candidate
+    pairs against the exact n-gram-Jaccard ground truth, composing the
+    two production oracles as CTEs."""
+    truth = ngram_jaccard_sql(threshold=threshold, max_shingle_freq=max_shingle_freq)
+    cand = minhash_lsh_sql()
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({cand}),
+m AS (
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        (SELECT CAST(count(*) AS BIGINT)
+         FROM truth t JOIN cand c
+         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+)
+SELECT n_truth, n_candidates, n_hits,
+       CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 // n_truth
+            ELSE 0 END AS BIGINT) AS recall_ppm,
+       CAST(CASE WHEN n_candidates > 0 THEN n_hits * 1000000 // n_candidates
+            ELSE 0 END AS BIGINT) AS precision_ppm
+FROM m
+""".strip()
+
+
+def ivf_recall_sql(
+    k: int = 5,
+    query_limit: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    num_iters: int = 3,
+) -> str:
+    """Mirrors operators/evaluation.py::ivf_recall_eval — per-query
+    recall@k (exact integer ppm) of the IVF candidates against the
+    exact brute-force cosine top-k, composing the two production
+    oracles as CTEs."""
+    truth = cosine_topk_sql(k=k, query_limit=query_limit)
+    cand = ivf_topk_sql(
+        k=k,
+        query_limit=query_limit,
+        n_clusters=n_clusters,
+        nprobe=nprobe,
+        num_iters=num_iters,
+    )
+    return f"""
+WITH truth AS ({truth}),
+cand AS ({cand})
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(c.vec_id) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN count(*) > 0
+            THEN count(c.vec_id) * 1000000 // count(*)
+            ELSE 0 END AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+GROUP BY t.query_id
 """.strip()
