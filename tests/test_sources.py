@@ -149,3 +149,34 @@ def test_write_result_and_metrics(spark, tmp_path):
     lines = [json.loads(x) for x in mpath.read_text().splitlines()]
     assert [x["triangles"] for x in lines] == [7, 8]
     assert all("ts" in x for x in lines)
+
+
+def test_write_training_shards(spark, tmp_path):
+    from wedge_parallel_triangle_counting_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + i % 4))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, shard_tokens=10)
+    # every doc written exactly once, shard = doc_id-ordered token cumsum
+    back = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in back.collect()}
+    assert len(rows) == 20
+    tok_counts = {i: 3 + i % 4 for i in range(20)}
+    start, expect_shard = 0, {}
+    for i in range(20):
+        expect_shard[i] = start // 10
+        start += tok_counts[i]
+    assert {i: rows[i].shard for i in rows} == expect_shard
+    assert manifest["total_tokens"] == sum(tok_counts.values())
+    assert manifest["n_docs"] == 20
+    assert manifest["n_shards"] == len(set(expect_shard.values()))
+    assert sum(s["n_tokens"] for s in manifest["shards"]) == manifest["total_tokens"]
+    # partitioning-independence: a repartitioned input writes the SAME layout
+    out2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(docs.repartition(7), out2, shard_tokens=10)
+    assert m2 == manifest

@@ -74,3 +74,79 @@ def degree_distribution_report(degrees: DataFrame) -> dict:
         "total_wedges": row["total_wedges"],
         "degree_quantiles": dict(zip(["p50", "p90", "p99", "max"], quantiles)),
     }
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 1 << 22,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """The pipeline's last mile: write the (filtered) corpus as
+    deterministic token-budgeted parquet shards plus a JSON manifest —
+    what a pretraining data loader consumes.
+
+    Layout contract = textstats.pack_sequences: documents in doc_id
+    order, each assigned the shard its FIRST token falls into
+    (shard = exclusive-prefix-token-count DIV shard_tokens). The
+    assignment is a pure function of the corpus — identical at any
+    parallelism and on re-runs (greedy bin packing is
+    partitioning-dependent; this is not). Prefix sums come from the
+    distributed two-pass cumsum (ids.attach_cumulative_weight), never
+    a single-partition global window.
+
+    Writes `path/` partitioned by shard (partition pruning for a
+    loader that reads shard ranges) and `path/_manifest.json` with
+    per-shard doc/token counts (the `_` prefix keeps Spark/parquet
+    readers from scanning it as data). Returns the manifest dict.
+
+    Driver memory is bounded by #shards (total_tokens/shard_tokens),
+    not corpus size."""
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).cast("long")
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        toks.alias("n_tokens"),
+    )
+    from ..operators.ids import attach_cumulative_weight
+
+    caches: list = []
+    laid, total_tokens = attach_cumulative_weight(
+        per, ["doc_id"], "n_tokens", out_col="start", caches=caches
+    )
+    sharded = laid.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.expr(f"start DIV {int(shard_tokens)}").alias("shard"),
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(path)
+    stats = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    for c in caches:
+        c.unpersist()
+    manifest = {
+        "shard_tokens": int(shard_tokens),
+        "total_tokens": int(total_tokens),
+        "n_docs": int(sum(r["n_docs"] for r in stats)),
+        "n_shards": len(stats),
+        "shards": [
+            {
+                "shard": int(r["shard"]),
+                "n_docs": int(r["n_docs"]),
+                "n_tokens": int(r["n_tokens"]),
+            }
+            for r in stats
+        ],
+    }
+    with open(f"{path}/_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
