@@ -114,7 +114,9 @@ def pagerank(
     (round-6 L1 delta between consecutive rank vectors). Tracking
     makes each iteration's checkpoint EAGER so every intermediate
     state is materialized once and each residual aggregate reads two
-    cached states instead of recomputing the loop prefix.
+    cached states instead of recomputing the loop prefix. On a
+    resumed run the list covers only the iterations THIS run executed
+    (the iter column carries the true iteration number).
 
     `init_ranks` (v, pr) WARM-STARTS the power iteration: vertices
     present in it start from the given value, new vertices from the
