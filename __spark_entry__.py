@@ -1320,6 +1320,14 @@ def _q_lsh_dedup_eval(spark, sf_dir):
     return lsh_dedup_eval(_docs(spark, sf_dir))
 
 
+def _q_minhash_estimate_eval(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.evaluation import (
+        minhash_estimate_eval,
+    )
+
+    return minhash_estimate_eval(_docs(spark, sf_dir))
+
+
 def _q_kmeans_pp(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.kmeans import kmeans_assign
 
@@ -1718,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": _q_substring_dups,
         "dedup_minhash_lsh": _q_minhash_lsh,
         "dedup_lsh_eval": _q_lsh_dedup_eval,
+        "dedup_minhash_calibration": _q_minhash_estimate_eval,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1972,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": oracles.substring_dup_sql(),
         "dedup_minhash_lsh": oracles.minhash_lsh_sql(),
         "dedup_lsh_eval": oracles.lsh_dedup_eval_sql(),
+        "dedup_minhash_calibration": oracles.minhash_estimate_eval_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "dedup_simhash_near_pairs": oracles.simhash_near_pairs_sql(),
         "dedup_clusters": oracles.components_sql(

@@ -151,3 +151,20 @@ def test_pagerank_convergence_matches_tol_delta(spark):
 def test_pagerank_convergence_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank_convergence(empty, num_iters=3).count() == 0
+
+
+def test_minhash_estimate_eval_identical_pair_exact(spark):
+    from wedge_parallel_triangle_counting_spark.operators.evaluation import (
+        minhash_estimate_eval,
+    )
+
+    out = {(r.doc_a, r.doc_b): r for r in minhash_estimate_eval(_docs(spark)).collect()}
+    assert (0, 1) in out  # identical docs are always LSH candidates
+    r = out[(0, 1)]
+    assert r.est_ppm == 1_000_000  # all 16 minhashes agree
+    assert r.true_ppm == 1_000_000
+    assert r.abs_err_ppm == 0
+    for p in out.values():
+        assert 0 <= p.est_ppm <= 1_000_000
+        assert 0 <= p.true_ppm <= 1_000_000
+        assert p.abs_err_ppm == abs(p.est_ppm - p.true_ppm)

@@ -119,3 +119,65 @@ def ivf_recall_eval(
             ).alias("recall_ppm"),
         )
     )
+
+
+def minhash_estimate_eval(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Calibration of the MinHash Jaccard ESTIMATE on every LSH
+    candidate pair: (doc_a, doc_b, est_ppm, true_ppm, abs_err_ppm).
+
+    est = agreeing signature components / NUM_HASHES (the unbiased
+    MinHash estimator the banding thresholds are derived from); true =
+    exact shingle Jaccard of the pair. The report tells you whether
+    16 hashes are enough for the corpus's similarity distribution —
+    the estimator's stderr ≈ sqrt(j(1−j)/16) is the banding design
+    input. All ppm integer DIV, hash-stable.
+
+    Scale shape: the exact side is PAIR-RESTRICTED — the shingle
+    intersection join runs only over the LSH candidates (bounded by
+    the banding), never a corpus self-join; sizes are the per-doc agg
+    the dedup path already needs. This is why the calibration is
+    affordable on the full corpus, unlike lsh_dedup_eval's exact-truth
+    side which is for evaluation samples."""
+    from .dedup import NUM_HASHES, minhash_lsh_pairs, minhash_signatures, shingles
+
+    cand = minhash_lsh_pairs(docs, n=n)
+    sig = minhash_signatures(docs, n=n)
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    m = None
+    for i in range(NUM_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        m = term if m is None else m + term
+    est = (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select("doc_a", "doc_b", m.cast("long").alias("m"))
+    )
+    sh = shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"m * 1000000 DIV {NUM_HASHES}").alias("est_ppm"),
+            F.expr(
+                "coalesce(i, 0) * 1000000 DIV (sza + szb - coalesce(i, 0))"
+            ).alias("true_ppm"),
+        )
+        .withColumn("abs_err_ppm", F.abs(F.col("est_ppm") - F.col("true_ppm")))
+    )

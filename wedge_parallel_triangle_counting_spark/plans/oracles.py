@@ -4203,3 +4203,64 @@ FROM truth t
 LEFT JOIN cand c ON c.query_id = t.query_id AND c.vec_id = t.vec_id
 GROUP BY t.query_id
 """.strip()
+
+
+def minhash_estimate_eval_sql() -> str:
+    """Mirrors operators/evaluation.py::minhash_estimate_eval — the
+    MinHash-estimate-vs-exact-Jaccard calibration on the LSH candidate
+    pairs (same mh/bands chain as minhash_lsh_sql; pair-restricted
+    exact intersection)."""
+    mins = ",\n           ".join(
+        "min(" + _h64(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_rows = []
+    for b in range(_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(h{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, md5({cols}) AS band_sig FROM mh")
+    bands_union = "\n    UNION ALL\n    ".join(band_rows)
+    matches = " + ".join(
+        f"(CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+mh AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands_union}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+est AS (
+    SELECT c.doc_a, c.doc_b, CAST({matches} AS BIGINT) AS m
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b,
+       e.m * 1000000 // {_NUM_HASHES} AS est_ppm,
+       coalesce(i.i, 0) * 1000000 // (sa.sz + sb.sz - coalesce(i.i, 0)) AS true_ppm,
+       abs(e.m * 1000000 // {_NUM_HASHES}
+           - coalesce(i.i, 0) * 1000000 // (sa.sz + sb.sz - coalesce(i.i, 0)))
+           AS abs_err_ppm
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+""".strip()
