@@ -227,6 +227,68 @@ def main() -> None:
     extra["ppr_sweep_sec"] = round(time.perf_counter() - t0, 4)
     spark.catalog.clearCache()
 
+    # amortized throughput (out-of-headline): the sf0.1 graph is only
+    # 600k oriented edges, so ~2 s of fixed per-job overhead (session,
+    # plan, Python worker spin-up) dominates tri_edges_per_sec and
+    # understates the engine's marginal rate. Re-measure on a
+    # deterministic K-fold amplification (disjoint vertex-shifted
+    # copies, the bench_scaling.py construction) where the fixed cost
+    # amortizes; report both full-pipeline and exec-phase rates, the
+    # reference's two accounting lines (tc.cu:886-913)
+    from wedge_parallel_triangle_counting_spark.operators import graph as G
+    from wedge_parallel_triangle_counting_spark.operators import triangles as T
+
+    amp_k = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "8"))
+    amp = (
+        e.crossJoin(spark.range(amp_k).withColumnRenamed("id", "copy"))
+        .select(
+            (F.col("src") + F.col("copy") * 200003).alias("src"),
+            (F.col("dst") + F.col("copy") * 200003).alias("dst"),
+        )
+        .persist()
+    )
+    amp_raw = amp.count()
+    e2e_secs = []
+    amp_tri = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        amp_tri = (
+            triangle_count(amp, strategy="wedge", closure="join").collect()[0][0]
+        )
+        e2e_secs.append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+        amp.persist()
+        amp.count()
+    oriented, _deg, _n, max_id, _stats = G.prepare_oriented_fast(amp)
+    flat = oriented.sortWithinPartitions("src", "dst").persist()
+    amp_mo = flat.count()
+    probe = T._build_probe(spark, flat, max_id + 1, 8192)
+    exec_secs = []
+    for _ in range(4):  # rep 0 discarded below (reference protocol)
+        t0 = time.perf_counter()
+        amp_tri2 = (
+            flat.mapInPandas(T._flat_count_udf(probe), schema=T.COUNT_SCHEMA)
+            .agg(F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles"))
+            .collect()[0][0]
+        )
+        exec_secs.append(round(time.perf_counter() - t0, 4))
+    assert amp_tri2 == amp_tri, (amp_tri2, amp_tri)
+    amp_e2e = min(e2e_secs)
+    amp_exec = min(exec_secs[1:])
+    extra["amplified"] = {
+        "k": amp_k,
+        "m_raw": amp_raw,
+        "m_oriented": amp_mo,
+        "triangles": amp_tri,
+        "e2e_sec": amp_e2e,
+        "e2e_edges_per_sec": round(amp_mo / amp_e2e, 1),
+        "exec_sec": amp_exec,
+        "exec_edges_per_sec": round(amp_mo / amp_exec, 1),
+    }
+    amp.unpersist()
+    flat.unpersist()
+    spark.catalog.clearCache()
+
     extra["loadavg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     print(
