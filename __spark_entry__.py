@@ -591,6 +591,27 @@ def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("v", F.round("pr", 6).alias("pr"))
 
 
+# topic seed sets for the batched topic-sensitive variant (disjoint
+# from each other, overlapping PPR_SOURCES on purpose so the news
+# topic cross-checks pagerank_personalized's fixed point)
+TOPIC_SEEDS = {"news": [0, 1, 2, 3, 4], "shop": [5, 6, 7], "ref": [8, 9]}
+
+
+def _q_pagerank_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+        pagerank_topics,
+    )
+
+    pr = pagerank_topics(
+        testdata.derived_pagerank_edges(spark, sf_dir),
+        topics=TOPIC_SEEDS,
+        num_iters=PAGERANK_ITERS,
+    )
+    return pr.select("v", "topic", F.round("pr", 6).alias("pr"))
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default strategy is "auto": canonical-edge count picks hashmin
     # (small graphs, fewer shuffles/round) vs star (doubly-log rounds)
@@ -1696,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigencentrality": _q_eigencentrality,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
+        "pagerank_topics": _q_pagerank_topics,
         "components": _q_components,
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
@@ -1921,6 +1943,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank_weighted": oracles.pagerank_sql(
             testdata.derived_weighted_edges_sql(), PAGERANK_ITERS, weighted=True
+        ),
+        "pagerank_topics": oracles.pagerank_topics_sql(
+            testdata.derived_pagerank_edges_sql(), TOPIC_SEEDS, PAGERANK_ITERS
         ),
         "components": oracles.components_sql(testdata.derived_pagerank_edges_sql()),
         "components_hashmin": oracles.components_sql(

@@ -193,6 +193,88 @@ def test_pagerank_personalized_matches_numpy(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_topics_matches_independent_runs(spark):
+    """The batched loop's per-topic fixed point must equal T
+    independent personalized runs (same graph, same iterations)."""
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+        pagerank_topics,
+    )
+
+    pairs = _random_directed(33, 30, 90)
+    topics = {"a": [0, 1, 2], "b": [3, 4], "c's": [5]}  # quote in a name
+    got = pagerank_topics(edges_df(spark, pairs), topics, num_iters=5).collect()
+    by_topic: dict[str, dict[int, float]] = {}
+    for r in got:
+        by_topic.setdefault(r.topic, {})[r.v] = r.pr
+    assert set(by_topic) == set(topics)
+    for t, seeds in topics.items():
+        want = {
+            r.v: r.pr
+            for r in pagerank(
+                edges_df(spark, pairs), num_iters=5, sources=seeds
+            ).collect()
+        }
+        assert set(by_topic[t]) == set(want)
+        for v, pr in want.items():
+            assert abs(by_topic[t][v] - pr) < 1e-12, (t, v)
+        # each topic vector is a probability distribution
+        assert abs(sum(by_topic[t].values()) - 1.0) < 1e-9
+
+
+def test_pagerank_topics_work_independent_of_topic_count(spark):
+    """The batching claim: T topic vectors ride ONE loop — the number
+    of Spark jobs and stages must not grow with T (a per-topic loop
+    would multiply both). Compared via the status tracker on job
+    groups around a T=1 and a T=4 run of the same graph/iterations."""
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+        pagerank_topics,
+    )
+
+    pairs = _random_directed(7, 40, 120)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run(tag, topics):
+        sc.setJobGroup(tag, tag)
+        try:
+            pagerank_topics(edges_df(spark, pairs), topics, num_iters=3).count()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = tracker.getJobIdsForGroup(tag)
+        stages = sum(
+            len(tracker.getJobInfo(j).stageIds)
+            for j in jobs
+            if tracker.getJobInfo(j) is not None
+        )
+        return len(jobs), stages
+
+    j1, s1 = run("topics_t1", {"a": [0]})
+    j4, s4 = run("topics_t4", {"a": [0], "b": [1], "c": [2], "d": [3]})
+    assert j1 > 0 and s1 > 0
+    assert j4 == j1, (j4, j1)
+    # stage count: AQE re-plans at runtime on the (slightly wider at
+    # T=4) shuffle payloads, which can split/merge a boundary — allow
+    # that jitter, reject anything resembling per-topic growth (a
+    # per-topic loop would be ~4x the loop stages)
+    assert abs(s4 - s1) <= 3, (s4, s1)
+
+
+def test_pagerank_topics_guards(spark):
+    import pytest as _pytest
+
+    from wedge_parallel_triangle_counting_spark.operators.pagerank import (
+        pagerank_topics,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_topics(empty, {"a": [1]}, num_iters=2).count() == 0
+    assert (
+        pagerank_topics(edges_df(spark, [(1, 2)]), {}, num_iters=2).count() == 0
+    )
+    with _pytest.raises(ValueError):
+        pagerank_topics(edges_df(spark, [(1, 2)]), {"a": []}, num_iters=2)
+
+
 def test_components_golden(spark):
     comp = {
         r.v: r.component

@@ -936,6 +936,30 @@ def pagerank_residuals_sql(
     return "WITH " + ",\n".join(ctes) + "\n" + rows
 
 
+def pagerank_topics_sql(
+    raw_sql: str,
+    topics: dict[str, list[int]],
+    num_iters: int,
+    damping: float = 0.85,
+    ndigits: int = 6,
+) -> str:
+    """Mirrors operators/pagerank.py::pagerank_topics — per-topic
+    semantics are exactly the personalized pagerank unrolling, so the
+    oracle is one materialized personalized-PR CTE per topic, unioned
+    with the topic literal. (The ENGINE batches all topics into one
+    loop — one edge shuffle per iteration total — but the fixed point
+    per topic is identical to T independent runs, which is what this
+    SQL certifies.)"""
+    ctes = []
+    rows = []
+    for i, (t, seeds) in enumerate(topics.items()):
+        prq = pagerank_sql(raw_sql, num_iters, damping, ndigits, sources=seeds)
+        ctes.append(f"topic_{i} AS MATERIALIZED ({prq})")
+        lit = t.replace("'", "''")
+        rows.append(f"SELECT v, '{lit}' AS topic, pr FROM topic_{i}")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
 def spam_mass_sql(
     raw_sql: str,
     num_iters: int,
