@@ -789,6 +789,25 @@ def _q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BETWEENNESS_SOURCES = 8
+BETWEENNESS_HOPS = 8
+
+
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+
+    b = betweenness_sampled(
+        testdata.derived_pagerank_edges(spark, sf_dir),
+        num_sources=BETWEENNESS_SOURCES,
+        max_hops=BETWEENNESS_HOPS,
+    )
+    return b.select("v", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wedge_parallel_triangle_counting_spark.operators.bfs import (
         double_sweep_diameter,
@@ -1733,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_modularity,
         "graph_transitivity": _q_transitivity,
         "graph_bfs_hops": _q_bfs_hops,
+        "graph_betweenness": _q_betweenness,
         "graph_double_sweep": _q_double_sweep,
         "graph_sssp": _q_sssp,
         "ingest_canonical_urls": _q_canonical_urls,
@@ -1977,6 +1997,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_bfs_hops": oracles.bfs_hops_sql(
             testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS
+        ),
+        "graph_betweenness": oracles.betweenness_sql(
+            testdata.derived_pagerank_edges_sql(),
+            BETWEENNESS_SOURCES,
+            BETWEENNESS_HOPS,
         ),
         "graph_double_sweep": oracles.double_sweep_sql(
             testdata.derived_pagerank_edges_sql(), BFS_MAX_HOPS

@@ -1111,6 +1111,73 @@ SELECT cls, COUNT(*) AS n_vertices FROM classified GROUP BY cls
 """.strip()
 
 
+def betweenness_sql(
+    raw_sql: str,
+    num_sources: int = 8,
+    max_hops: int = 8,
+    ndigits: int = 6,
+) -> str:
+    """Mirrors operators/betweenness.py::betweenness_sampled — Brandes
+    from the `num_sources` smallest vertex ids, hop-truncated at
+    `max_hops`, fully UNROLLED: forward BFS levels l0..lH carry
+    (s, v, sigma) with a seen-set NOT EXISTS (levels past the
+    eccentricity are empty and contribute nothing, matching the
+    engine's early break), then the dependency accumulation runs
+    deepest-level-first as one chained CTE per level."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "clean AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT src, dst FROM clean"
+        " UNION SELECT dst AS src, src AS dst FROM clean)",
+        f"srcs AS (SELECT DISTINCT src AS v FROM sym ORDER BY v"
+        f" LIMIT {num_sources})",
+        "l0 AS (SELECT v AS s, v, CAST(1 AS BIGINT) AS sigma FROM srcs)",
+        "seen0 AS (SELECT s, v FROM l0)",
+    ]
+    for d in range(1, max_hops + 1):
+        ctes.append(
+            f"l{d} AS MATERIALIZED ("
+            f"SELECT l.s, e.dst AS v, SUM(l.sigma) AS sigma"
+            f" FROM l{d - 1} l JOIN sym e ON e.src = l.v"
+            f" WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} p"
+            f" WHERE p.s = l.s AND p.v = e.dst)"
+            f" GROUP BY l.s, e.dst)"
+        )
+        ctes.append(
+            f"seen{d} AS (SELECT s, v FROM seen{d - 1}"
+            f" UNION ALL SELECT s, v FROM l{d})"
+        )
+    H = max_hops
+    ctes.append(f"d{H} AS (SELECT s, v, CAST(0 AS DOUBLE) AS delta FROM l{H})")
+    for d in range(H - 1, -1, -1):
+        ctes.append(
+            f"c{d} AS ("
+            f"SELECT l.s, l.v,"
+            f" SUM(CAST(l.sigma AS DOUBLE) / n.sigma * (1 + n.delta)) AS delta"
+            f" FROM l{d} l JOIN sym e ON e.src = l.v"
+            f" JOIN (SELECT a.s, a.v, a.sigma, b.delta FROM l{d + 1} a"
+            f" JOIN d{d + 1} b ON a.s = b.s AND a.v = b.v) n"
+            f" ON n.s = l.s AND n.v = e.dst"
+            f" GROUP BY l.s, l.v)"
+        )
+        ctes.append(
+            f"d{d} AS MATERIALIZED ("
+            f"SELECT l.s, l.v, COALESCE(c.delta, 0.0) AS delta"
+            f" FROM l{d} l LEFT JOIN c{d} c ON c.s = l.s AND c.v = l.v)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT v, delta FROM d{d}" for d in range(1, H + 1)
+    )
+    ctes.append("allv AS (SELECT DISTINCT src AS v FROM sym)")
+    ctes.append(f"acc AS (SELECT v, SUM(delta) AS b FROM ({union}) GROUP BY v)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT allv.v, round(COALESCE(acc.b, 0.0), {ndigits})"
+        " AS betweenness FROM allv LEFT JOIN acc ON acc.v = allv.v"
+    )
+
+
 def bfs_hops_sql(raw_sql: str, max_hops: int = 10) -> str:
     """BFS shortest hop counts from the minimum vertex id, depth-capped
     recursive reachability: UNION dedups (v, d) states so the recursion
