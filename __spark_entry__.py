@@ -1302,6 +1302,12 @@ def _q_token_percentiles(spark, sf_dir):
     return token_percentiles(_docs(spark, sf_dir))
 
 
+def _q_lm_score(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         repetition_stats,
@@ -1798,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_stats": _q_corpus_stats,
         "text_filtered_corpus": _q_filtered_corpus,
         "text_repetition_stats": _q_repetition_stats,
+        "text_lm_score": _q_lm_score,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
         "sketch_kmv_shingles": _q_kmv_shingles,
@@ -2050,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
             min_score=0.5, langs=["en", "de", "fr"]
         ),
         "text_repetition_stats": oracles.repetition_stats_sql(),
+        "text_lm_score": oracles.lm_score_sql(),
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "text_top_ngrams": oracles.top_ngrams_sql(k=100),
         "sketch_kmv_shingles": oracles.kmv_shingles_sql(k=256),

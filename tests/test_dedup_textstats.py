@@ -240,6 +240,62 @@ def test_repetition_stats_hand_check(spark):
     assert got[2].top_token_ppm == 666666
 
 
+def test_lm_score_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lm_score
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b"),   # bigrams: (a,b)x2, (b,a)x1
+            (1, "a b c"),     # bigrams: (a,b), (b,c)
+            (2, "solo"),      # 1 token -> no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: c12 (a,b)=3, (b,a)=1, (b,c)=1; c1 a=3, b=2; V=4
+    got = {r.doc_id: r for r in lm_score(df).collect()}
+    p_ab = ((3 + 1) * 1000000) // (3 + 4)
+    p_ba = ((1 + 1) * 1000000) // (2 + 4)
+    p_bc = ((1 + 1) * 1000000) // (2 + 4)
+    assert got[0].n_bigrams == 3
+    assert got[0].avg_p_ppm == (2 * p_ab + p_ba) // 3
+    assert got[1].n_bigrams == 2
+    assert got[1].avg_p_ppm == (p_ab + p_bc) // 2
+    assert got[2].n_bigrams == 0 and got[2].avg_p_ppm is None
+
+
+def test_lm_score_brute_force_corpus(spark):
+    from collections import Counter
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lm_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    c12: Counter = Counter()
+    c1: Counter = Counter()
+    vocab = set()
+    for toks in texts.values():
+        vocab.update(toks)
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[(w1, w2)] += 1
+            c1[w1] += 1
+    got = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert set(got) == set(texts)
+    for doc_id, toks in texts.items():
+        ppms = [
+            ((c12[(w1, w2)] + 1) * 1000000) // (c1[w1] + len(vocab))
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        r = got[doc_id]
+        assert r.n_bigrams == len(ppms)
+        if ppms:
+            assert r.avg_p_ppm == sum(ppms) // len(ppms)
+        else:
+            assert r.avg_p_ppm is None
+
+
 def test_repetition_stats_brute_force_corpus(spark):
     from collections import Counter
 

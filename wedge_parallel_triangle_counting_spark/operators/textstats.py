@@ -167,6 +167,80 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
 
 
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_p_ppm) — corpus-trained bigram
+    language-model quality score, the CCNet-style model-based filter:
+    documents whose token transitions are typical of the corpus score
+    high, gibberish / boilerplate-shredded text scores low.
+
+    The model is add-one-smoothed bigram probability trained on the
+    SAME corpus being scored (self-scoring — deterministic, no
+    external model):
+
+        p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+
+    with c(w1·) = count of w1 as a bigram left and V = corpus distinct
+    tokens. Each bigram's probability is quantized to integer ppm with
+    floor BEFORE averaging, and the per-document average is an integer
+    floor-division — so every value is exact integer arithmetic over
+    exact counts, representation-stable across engines (the module's
+    standard ppm discipline; a float log-prob mean would hang the
+    driver's value hash on libm ln rounding). Documents with < 2
+    tokens have no bigrams: n_bigrams 0, avg_p_ppm NULL.
+
+    Scale shape: bigrams come from ONE transform over the token array
+    (no positional self-join); both count tables are map-side-combined
+    aggregations of that stream; scoring is an equi-join of the bigram
+    stream against the (w1,w2) count table — the inverted-index
+    shuffle every dedup/retrieval operator here already pays — plus a
+    broadcast 1-row V. All JVM, no UDFs."""
+    a = _tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"), a.alias("a"))
+    b = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(a, 1, size(a)-1),"
+                    " (x, i) -> struct(x AS w1, a[i+1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = b.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = b.groupBy("w1").agg(F.count("*").alias("n1"))
+    vdf = (
+        base.select(F.explode("a").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    scored = (
+        b.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vdf))
+        .select(
+            "doc_id",
+            F.expr("((n12 + 1) * 1000000) DIV (n1 + vocab)").alias("p_ppm"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("p_ppm").alias("s")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.expr("CAST(s DIV n_bigrams AS BIGINT)").alias("avg_p_ppm"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

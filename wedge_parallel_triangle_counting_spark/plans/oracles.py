@@ -1947,6 +1947,42 @@ FROM documents
 """.strip()
 
 
+def lm_score_sql() -> str:
+    """Mirrors operators/textstats.py::lm_score — add-one-smoothed
+    self-trained bigram model, integer ppm quantized per bigram then
+    floor-averaged per document (exact integer arithmetic end to
+    end; DuckDB lists are 1-indexed, Spark's transform lambda is
+    0-indexed — both enumerate the same n-1 bigrams)."""
+    return r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+    FROM documents
+),
+b AS (
+    SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i)
+),
+c12 AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY w1),
+v AS (
+    SELECT count(DISTINCT tok) AS vocab
+    FROM (SELECT unnest(a) AS tok FROM toks)
+),
+scored AS (
+    SELECT b.doc_id, ((c12.n12 + 1) * 1000000) // (c1.n1 + v.vocab) AS p_ppm
+    FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_bigrams, sum(p_ppm) AS s
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(p.s // p.n_bigrams AS BIGINT) AS avg_p_ppm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""".strip()
+
+
 def repetition_stats_sql() -> str:
     """Mirrors operators/textstats.py::repetition_stats — integer ppm
     arithmetic, identical tokenization regex."""
