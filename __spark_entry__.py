@@ -530,6 +530,17 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 HITS_ITERS = 3
 
 
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.salsa import salsa
+
+    s = salsa(testdata.derived_pagerank_edges(spark, sf_dir), num_iters=HITS_ITERS)
+    return s.select(
+        "v", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1739,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "pagerank_convergence": _q_pagerank_convergence,
         "hits": _q_hits,
+        "graph_salsa": _q_salsa,
         "graph_eigencentrality": _q_eigencentrality,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1958,6 +1970,9 @@ def oracle_sql() -> dict[str, str]:
             testdata.derived_pagerank_edges_sql(), PAGERANK_ITERS
         ),
         "hits": oracles.hits_sql(
+            testdata.derived_pagerank_edges_sql(), HITS_ITERS
+        ),
+        "graph_salsa": oracles.salsa_sql(
             testdata.derived_pagerank_edges_sql(), HITS_ITERS
         ),
         "graph_eigencentrality": oracles.eigencentrality_sql(

@@ -109,3 +109,60 @@ def test_spam_mass_columns_nullsafe(spark):
     sm = spam_mass(edges_df(spark, [(0, 1)]), trusted=[0], num_iters=2)
     row = sm.filter(F.col("v") == 1).collect()[0]
     assert row.pr > 0 and row.trust > 0
+
+
+def brute_salsa(pairs, num_iters):
+    """Textbook SALSA chains (dict loops), independent of the
+    operator's fused-forward-step formulation."""
+    e = sorted({(a, b) for a, b in pairs if a != b})
+    outd, ind = {}, {}
+    for a, b in e:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    a_side, h_side = sorted(ind), sorted(outd)
+    a = {v: 1.0 / len(a_side) for v in a_side}
+    h = {v: 1.0 / len(h_side) for v in h_side}
+    for _ in range(num_iters):
+        x = {}
+        for u, w in e:
+            x[u] = x.get(u, 0.0) + a.get(w, 0.0) / ind[w]
+        a_new, y = {}, {}
+        for u, w in e:
+            a_new[w] = a_new.get(w, 0.0) + x.get(u, 0.0) / outd[u]
+            y[w] = y.get(w, 0.0) + h.get(u, 0.0) / outd[u]
+        h_new = {}
+        for u, w in e:
+            h_new[u] = h_new.get(u, 0.0) + y.get(w, 0.0) / ind[w]
+        a, h = a_new, h_new
+    return a, h
+
+
+def test_salsa_matches_bruteforce_and_conserves_mass(spark):
+    import random
+
+    from wedge_parallel_triangle_counting_spark.operators.salsa import salsa
+
+    rng = random.Random(5)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+    want_a, want_h = brute_salsa(pairs, 4)
+    rows = salsa(edges_df(spark, pairs), num_iters=4).collect()
+    got_a = {r.v: r.authority for r in rows}
+    got_h = {r.v: r.hub for r in rows}
+    for v, val in want_a.items():
+        assert abs(got_a[v] - val) < 1e-12, ("a", v)
+    for v, val in want_h.items():
+        assert abs(got_h[v] - val) < 1e-12, ("h", v)
+    # stochastic chains: both scores are probability distributions
+    assert abs(sum(got_a.values()) - 1.0) < 1e-9
+    assert abs(sum(got_h.values()) - 1.0) < 1e-9
+
+
+def test_salsa_degenerate(spark):
+    from wedge_parallel_triangle_counting_spark.operators.salsa import salsa
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert salsa(empty, num_iters=2).count() == 0
+    # single edge: all mass sits on the only hub / only authority
+    rows = {r.v: r for r in salsa(edges_df(spark, [(0, 1)]), num_iters=3).collect()}
+    assert rows[0].hub == 1.0 and rows[1].authority == 1.0
+    assert rows[0].authority == 0.0 and rows[1].hub == 0.0

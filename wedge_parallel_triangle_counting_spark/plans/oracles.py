@@ -742,6 +742,56 @@ FROM {prev_h} h JOIN {final_a} a USING (v)
     )
 
 
+def salsa_sql(raw_sql: str, num_iters: int, ndigits: int = 6) -> str:
+    """Mirrors operators/salsa.py — the stochastic hub/authority
+    chains unrolled as chained CTEs. Degrees are loop constants;
+    a_0 = 1/|A| on in-degree>0 vertices, h_0 = 1/|H| on out-degree>0
+    vertices; per iteration the authority chain runs backward-then-
+    forward and the hub chain forward-then-backward, every step
+    dividing by the degree the mass leaves through."""
+    ctes = [
+        f"raw AS ({raw_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)",
+        "vs AS (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)",
+        "outd AS (SELECT src AS v, count(*) AS outd FROM e GROUP BY src)",
+        "ind AS (SELECT dst AS v, count(*) AS ind FROM e GROUP BY dst)",
+        "a0 AS (SELECT v, 1.0 / (SELECT count(*) FROM ind) AS a FROM ind)",
+        "h0 AS (SELECT v, 1.0 / (SELECT count(*) FROM outd) AS h FROM outd)",
+    ]
+    for k in range(1, num_iters + 1):
+        ctes.append(
+            f"x{k} AS (SELECT e.src AS v, sum(a.a / i.ind) AS x FROM e"
+            f" JOIN a{k - 1} a ON a.v = e.dst"
+            f" JOIN ind i ON i.v = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT e.dst AS v, sum(x.x / o.outd) AS a FROM e"
+            f" JOIN x{k} x ON x.v = e.src"
+            f" JOIN outd o ON o.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"y{k} AS (SELECT e.dst AS v, sum(h.h / o.outd) AS y FROM e"
+            f" JOIN h{k - 1} h ON h.v = e.src"
+            f" JOIN outd o ON o.v = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{k} AS (SELECT e.src AS v, sum(y.y / i.ind) AS h FROM e"
+            f" JOIN y{k} y ON y.v = e.dst"
+            f" JOIN ind i ON i.v = e.dst GROUP BY e.src)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vs.v,
+       round(coalesce(h.h, 0.0), {ndigits}) AS hub,
+       round(coalesce(a.a, 0.0), {ndigits}) AS authority
+FROM vs LEFT JOIN h{num_iters} h ON h.v = vs.v
+LEFT JOIN a{num_iters} a ON a.v = vs.v
+""".rstrip()
+    )
+
+
 def mis_sql(raw_sql: str, num_rounds: int, coloring: bool = False) -> str:
     """Mirrors operators/mis.py: deterministic Luby with the
     md5-prefix * 2^31 + id total-order priority, unrolled as
