@@ -1319,6 +1319,12 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_lm_buckets(spark, sf_dir):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lm_buckets
+
+    return lm_buckets(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from wedge_parallel_triangle_counting_spark.operators.textstats import (
         repetition_stats,
@@ -1817,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_filtered_corpus": _q_filtered_corpus,
         "text_repetition_stats": _q_repetition_stats,
         "text_lm_score": _q_lm_score,
+        "text_lm_buckets": _q_lm_buckets,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
         "sketch_kmv_shingles": _q_kmv_shingles,
@@ -2073,6 +2080,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_repetition_stats": oracles.repetition_stats_sql(),
         "text_lm_score": oracles.lm_score_sql(),
+        "text_lm_buckets": oracles.lm_buckets_sql(),
         "text_tfidf_top_terms": oracles.tfidf_top_terms_sql(k=3),
         "text_top_ngrams": oracles.top_ngrams_sql(k=100),
         "sketch_kmv_shingles": oracles.kmv_shingles_sql(k=256),

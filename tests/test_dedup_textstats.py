@@ -296,6 +296,48 @@ def test_lm_score_brute_force_corpus(spark):
             assert r.avg_p_ppm is None
 
 
+def test_lm_buckets_hand_check(spark):
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        lm_buckets,
+        lm_score,
+    )
+
+    # 6 'en' docs + 1 'de' doc; 'a b'-heavy docs score highest because
+    # (a,b) dominates the corpus bigram counts
+    rows = [
+        (0, "a b a b a b", "en"),
+        (1, "a b a b", "en"),
+        (2, "a b c", "en"),
+        (3, "c d e", "en"),
+        (4, "e f g", "en"),
+        (5, "solo", "en"),  # no bigrams -> -1 sentinel, ranks last
+        (6, "x y", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        (r.lang, r.bucket): r for r in lm_buckets(df, n_buckets=3).collect()
+    }
+    # en: 6 docs -> 3 buckets of 2; de: 1 doc -> bucket 1 only
+    assert out[("en", 1)].n_docs == 2
+    assert out[("en", 2)].n_docs == 2
+    assert out[("en", 3)].n_docs == 2
+    assert out[("de", 1)].n_docs == 1
+    assert ("de", 2) not in out and ("de", 3) not in out
+    # bucket boundaries are monotone in score and the sentinel lands
+    # in the tail bucket
+    assert out[("en", 1)].min_ppm >= out[("en", 2)].max_ppm
+    assert out[("en", 2)].min_ppm >= out[("en", 3)].max_ppm
+    assert out[("en", 3)].min_ppm == -1
+    # head bucket holds the two highest lm_score docs (0 and 1)
+    scores = {r.doc_id: r.avg_p_ppm for r in lm_score(df).collect()}
+    top2 = sorted(
+        (d for d in range(6)),
+        key=lambda d: (-(scores[d] if scores[d] is not None else -1), d),
+    )[:2]
+    assert out[("en", 1)].max_ppm == scores[top2[0]]
+    assert out[("en", 1)].min_ppm == scores[top2[1]]
+
+
 def test_repetition_stats_brute_force_corpus(spark):
     from collections import Counter
 

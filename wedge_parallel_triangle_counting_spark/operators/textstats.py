@@ -241,6 +241,62 @@ def lm_score(
     )
 
 
+def lm_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each language, rank
+    documents by the self-trained bigram LM score (lm_score) and cut
+    them into `n_buckets` equal-size quality tiers — head/middle/tail
+    for the default 3. Returns the curation report (lang, bucket,
+    n_docs, min_ppm, max_ppm); bucket 1 = most corpus-typical text.
+    This is the split CCNet uses to keep the head and downsample the
+    tail of a web crawl.
+
+    Determinism: docs without bigrams score a -1 ppm sentinel (never
+    NULL, so no cross-engine null-ordering divergence) and the rank
+    order is the total order (score_ppm DESC, doc_id ASC), making the
+    ntile boundary engine-stable; every output column is exact
+    integer/bigint.
+
+    Scale shape: lm_score's bigram join + one per-lang window rank
+    over (doc_id, score) pairs — the window input is two bigints per
+    document, NOT the text, so the sort per language partition is the
+    cheap kind; output cardinality = #langs x n_buckets."""
+    from pyspark.sql import Window
+
+    scores = lm_score(docs, id_col=id_col, text_col=text_col)
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("lang")
+    ).join(scores.select("doc_id", "avg_p_ppm"), "doc_id")
+    ranked = joined.select(
+        "lang",
+        "doc_id",
+        F.coalesce(F.col("avg_p_ppm"), F.lit(-1)).alias("score_ppm"),
+    ).withColumn(
+        "bucket",
+        F.ntile(n_buckets).over(
+            Window.partitionBy("lang").orderBy(
+                F.col("score_ppm").desc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("score_ppm").alias("min_ppm"),
+        F.max("score_ppm").alias("max_ppm"),
+    ).select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "min_ppm",
+        "max_ppm",
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2033,6 +2033,33 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """.strip()
 
 
+def lm_buckets_sql(n_buckets: int = 3) -> str:
+    """Mirrors operators/textstats.py::lm_buckets — per-lang ntile
+    over (score DESC, doc_id ASC); the -1 sentinel for bigram-less
+    docs keeps the order null-free (DuckDB and Spark disagree on
+    default null placement for ASC)."""
+    lm = lm_score_sql()
+    return f"""
+WITH scored AS (
+    SELECT d.lang, t.doc_id, COALESCE(t.avg_p_ppm, -1) AS score_ppm
+    FROM ({lm}) t JOIN documents d ON d.doc_id = t.doc_id
+),
+ranked AS (
+    SELECT lang, score_ppm,
+           ntile({n_buckets}) OVER (
+               PARTITION BY lang ORDER BY score_ppm DESC, doc_id ASC
+           ) AS bucket
+    FROM scored
+)
+SELECT lang,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(score_ppm) AS BIGINT) AS min_ppm,
+       CAST(max(score_ppm) AS BIGINT) AS max_ppm
+FROM ranked GROUP BY lang, bucket
+""".strip()
+
+
 def repetition_stats_sql() -> str:
     """Mirrors operators/textstats.py::repetition_stats — integer ppm
     arithmetic, identical tokenization regex."""
