@@ -1114,9 +1114,11 @@ def _q_streaming_countmin(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_cm_")
     src_dir = f"{tmp}/docs"
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/documents.parquet", src_dir, "doc_id")
     try:
-        sketch = run_streaming_countmin(spark, src_dir, f"{tmp}/ckpt")
+        sketch = run_streaming_countmin(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     toks = _docs(spark, sf_dir).select(F.explode(_tokens(F.col("text"))).alias("val"))
@@ -1413,13 +1415,22 @@ def _q_lsh_bucket_pairs(spark, sf_dir):
     return lsh_bucket_pairs(_emb(spark, sf_dir))
 
 
-# Near-dup cosine bar for the synthetic embeddings: their pairwise
-# cosines top out ~0.51, so the real-corpus default (0.9) would make
-# the oracle check vacuous (0 = 0 rows). 0.35 yields a few hundred
-# verdicts at sf0.01 — a meaningful parity surface (the tighter 0.35
-# bar left only 6 pairs after LSH bucket recall, so 0.25 is the bar
-# that keeps the cell non-vacuous).
-EMB_NEAR_DUP_THRESHOLD = 0.25
+# Near-dup cosine bar: the raw synthetic embeddings' pairwise cosines
+# top out ~0.51, which forced earlier rounds to unrealistic 0.25/0.4
+# thresholds. The planted fixture (dedup.plant_near_dup_embeddings,
+# mirrored bit for bit by oracles.planted_embeddings_cte) replaces
+# every (vec_id % 7 == 3) vector with a perturbed copy of its
+# predecessor's (cosine ≈0.97+), so the operators are oracle-checked
+# at the ≥0.9 regime a real near-dup corpus exercises.
+EMB_NEAR_DUP_THRESHOLD = 0.9
+
+
+def _emb_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wedge_parallel_triangle_counting_spark.operators.dedup import (
+        plant_near_dup_embeddings,
+    )
+
+    return plant_near_dup_embeddings(_emb(spark, sf_dir))
 
 
 def _q_embedding_near_dup(spark, sf_dir):
@@ -1428,7 +1439,9 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
     return embedding_near_dup(
-        _docs(spark, sf_dir), _emb(spark, sf_dir), threshold=EMB_NEAR_DUP_THRESHOLD
+        _docs(spark, sf_dir),
+        _emb_planted(spark, sf_dir),
+        threshold=EMB_NEAR_DUP_THRESHOLD,
     )
 
 
@@ -1534,10 +1547,9 @@ def _q_semantic_dedup(spark, sf_dir):
         semantic_dedup_pairs,
     )
 
-    # threshold sits under the synthetic embeddings' ~0.51 cosine
-    # ceiling (see EMB_NEAR_DUP_THRESHOLD note) so the pair set is
-    # non-trivial at test scale
-    return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    # the planted near-dup fixture lets the threshold sit at the
+    # real-corpus 0.9 bar (see EMB_NEAR_DUP_THRESHOLD note)
+    return semantic_dedup_pairs(_emb_planted(spark, sf_dir), threshold=0.9)
 
 
 def _q_random_plane_lsh(spark, sf_dir):
@@ -1598,6 +1610,51 @@ def _q_events_sessionized(spark, sf_dir):
     return sessionized(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _split_replay(
+    spark: SparkSession, src_parquet: str, dst_dir: str, key_expr: str,
+    n_files: int = 3,
+) -> None:
+    """Write the replay parquet as `n_files` deterministic slices
+    (key % n_files) named part-000.. — with maxFilesPerTrigger=1 the
+    availableNow replay then runs >= 3 micro-batches, so the
+    driver-visible stream==batch oracle cell exercises CROSS-BATCH
+    state (the unit tests' split-file discipline,
+    tests/test_similarity_multimodal_streaming.py)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(src_parquet)
+    if key_expr == "__time_order__":
+        # time-ordered thirds: how a real stream arrives, and the only
+        # split sound for watermarked stream-stream joins (an id-modulo
+        # split plants arbitrarily-late data, which watermark semantics
+        # CORRECTLY drop — stream != batch by design there). The
+        # single-task window is replay-fixture prep at sf<=0.1, not an
+        # operator.
+        from pyspark.sql import Window
+
+        df = df.withColumn(
+            "__b",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")) - 1,
+        )
+        for i in range(n_files):
+            df.filter(F.col("__b") == i).drop("__b").coalesce(1).write.parquet(
+                f"{dst_dir}/s{i}"
+            )
+    else:
+        for i in range(n_files):
+            df.filter(F.expr(f"({key_expr}) % {n_files} = {i}")).coalesce(
+                1
+            ).write.parquet(f"{dst_dir}/s{i}")
+    for i, f in enumerate(sorted(_glob.glob(f"{dst_dir}/s*/*.parquet"))):
+        _os.rename(f, f"{dst_dir}/part-{i:03d}.parquet")
+    for i in range(n_files):
+        _shutil.rmtree(f"{dst_dir}/s{i}", ignore_errors=True)
+
+
 def _q_streaming_triangles(spark, sf_dir):
     # real Structured Streaming execution (availableNow replay of the
     # events file through foreachBatch incremental maintenance); the
@@ -1614,11 +1671,13 @@ def _q_streaming_triangles(spark, sf_dir):
     import os
 
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/events.parquet", src_dir, "event_id")
     try:
         # the returned frame is already materialized (eager count), so
         # the replay dir can be removed immediately
-        return run_streaming_triangle_count(spark, src_dir, f"{tmp}/ckpt")
+        return run_streaming_triangle_count(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1638,10 +1697,12 @@ def _q_streaming_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_dedup_")
     src_dir = f"{tmp}/docs"
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/documents.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/documents.parquet", src_dir, "doc_id")
     try:
         # eagerly materialized, so the replay dir can be removed
-        return run_streaming_dedup(spark, src_dir, f"{tmp}/ckpt")
+        return run_streaming_dedup(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1660,9 +1721,11 @@ def _q_streaming_user_stats(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_ustats_")
     src_dir = f"{tmp}/events"
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/events.parquet", src_dir, "event_id")
     try:
-        return run_streaming_user_stats(spark, src_dir, f"{tmp}/ckpt")
+        return run_streaming_user_stats(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1681,9 +1744,11 @@ def _q_streaming_funnel(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_funnel_")
     src_dir = f"{tmp}/events"
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/events.parquet", src_dir, "event_id")
     try:
-        return run_streaming_funnel(spark, src_dir, f"{tmp}/ckpt")
+        return run_streaming_funnel(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1702,15 +1767,93 @@ def _q_streaming_attribution(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_attr_")
     src_dir = f"{tmp}/events"
     os.makedirs(src_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/part-000.parquet")
+    _split_replay(spark, f"{sf_dir}/events.parquet", src_dir, "__time_order__")
     try:
-        return run_streaming_attribution(spark, src_dir, f"{tmp}/ckpt")
+        return run_streaming_attribution(
+            spark, src_dir, f"{tmp}/ckpt", max_files_per_trigger=1
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "graph_louvain_move": _q_louvain_move,
+        "graph_community_contract": _q_community_contract,
+        "graph_louvain_level2": _q_louvain_level2,
+        "graph_ppr_push": _q_ppr_push,
+        "graph_sweep_cut": _q_sweep_cut,
+        "graph_scc": _q_scc,
+        "graph_bowtie": _q_bowtie,
+        "graph_densest": _q_densest,
+        "graph_modularity": _q_modularity,
+        "graph_transitivity": _q_transitivity,
+        "graph_betweenness": _q_betweenness,
+        "graph_double_sweep": _q_double_sweep,
+        "graph_sssp": _q_sssp,
+        "ingest_canonical_urls": _q_canonical_urls,
+        "text_boilerplate_removal": _q_boilerplate_removal,
+        "ingest_anchor_profile": _q_anchor_profile,
+        "dedup_substring": _q_substring_dups,
+        "dedup_lsh_eval": _q_lsh_dedup_eval,
+        "dedup_minhash_calibration": _q_minhash_estimate_eval,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
+        "dedup_semantic": _q_semantic_dedup,
+        "dedup_containment": _q_containment,
+        "text_novelty": _q_novelty,
+        "text_lang_confusion": _q_lang_confusion,
+        "text_vocab_growth": _q_vocab_growth,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "streaming_funnel": _q_streaming_funnel,
+        "graph_rich_club": _q_rich_club,
+        "graph_hub_ego": _q_hub_ego,
+        "graph_quadrilaterals": _q_quadrilaterals,
+        "graph_katz": _q_katz,
+        "pagerank_spam_mass": _q_spam_mass,
+        "ingest_resolve_redirects": _q_resolve_redirects,
+        "text_pii_redact": _q_pii_redact,
+        "corpus_host_cap": _q_host_cap,
+        "corpus_decontaminate": _q_decontaminate,
+        "text_filtered_corpus": _q_filtered_corpus,
+        "text_repetition_stats": _q_repetition_stats,
+        "text_lm_score": _q_lm_score,
+        "text_lm_buckets": _q_lm_buckets,
+        "text_tfidf_top_terms": _q_tfidf_top_terms,
+        "text_top_ngrams": _q_top_ngrams,
+        "sketch_kmv_shingles": _q_kmv_shingles,
+        "sketch_hll_shingles": _q_hll_shingles,
+        "sketch_countmin_tokens": _q_countmin_tokens,
+        "web_mirror_hosts": _q_mirror_hosts,
+        "text_bm25_topk": _q_bm25_topk,
+        "ingest_lang_propagate": _q_lang_propagate,
+        "ingest_crawl_frontier": _q_crawl_frontier,
+        "ingest_edge_churn": _q_edge_churn,
+        "pagerank_warm_start": _q_pagerank_warm,
+        "pagerank_rank_churn": _q_rank_churn,
+        "components_incremental": _q_components_incremental,
+        "streaming_countmin": _q_streaming_countmin,
+        "ingest_url_templates": _q_url_templates,
+        "ingest_backlink_report": _q_backlink_report,
+        "ingest_orphan_pages": _q_orphan_pages,
+        "web_bloom_url_seen": _q_bloom_url_seen,
+        "text_bpe_pair_counts": _q_bpe_pairs,
+        "text_pack_sequences": _q_pack_sequences,
+        "text_mixture_weights": _q_mixture_weights,
+        "graph_component_sizes": _q_component_sizes,
+        "text_corpus_mix_report": _q_corpus_mix_report,
+        "text_token_percentiles": _q_token_percentiles,
+        "embedding_kmeans": _q_kmeans,
+        "embedding_kmeans_pp": _q_kmeans_pp,
+        "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_recall": _q_ivf_recall,
+        "ann_ivf_pq_topk": _q_ivf_pq_topk,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
+        "events_sessionized": _q_events_sessionized,
+        "streaming_dedup": _q_streaming_dedup,
+        "streaming_user_stats": _q_streaming_user_stats,
+        "streaming_attribution": _q_streaming_attribution,
         "graph_degrees": _q_degrees,
         "graph_degrees_bucketed": _q_degrees_bucketed,
         "graph_rmat_degrees": _q_rmat_degrees,
@@ -1765,107 +1908,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "components_hashmin": _q_components_hashmin,
         "components_star": _q_components_star,
         "labelprop": _q_labelprop,
-        "graph_louvain_move": _q_louvain_move,
-        "graph_community_contract": _q_community_contract,
-        "graph_louvain_level2": _q_louvain_level2,
-        "graph_ppr_push": _q_ppr_push,
-        "graph_sweep_cut": _q_sweep_cut,
-        "graph_scc": _q_scc,
-        "graph_bowtie": _q_bowtie,
-        "graph_densest": _q_densest,
-        "graph_modularity": _q_modularity,
-        "graph_transitivity": _q_transitivity,
         "graph_bfs_hops": _q_bfs_hops,
-        "graph_betweenness": _q_betweenness,
-        "graph_double_sweep": _q_double_sweep,
-        "graph_sssp": _q_sssp,
-        "ingest_canonical_urls": _q_canonical_urls,
-        "text_boilerplate_removal": _q_boilerplate_removal,
         "ingest_extract": _q_ingest_extract,
-        "ingest_anchor_profile": _q_anchor_profile,
         "ingest_dictionary": _q_ingest_dictionary,
         "ingest_edges": _q_ingest_edges,
         "ingest_host_graph": _q_host_graph,
         "ingest_host_pagerank": _q_host_pagerank,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
-        "dedup_substring": _q_substring_dups,
         "dedup_minhash_lsh": _q_minhash_lsh,
-        "dedup_lsh_eval": _q_lsh_dedup_eval,
-        "dedup_minhash_calibration": _q_minhash_estimate_eval,
         "dedup_simhash": _q_simhash,
         "dedup_simhash_near_pairs": _q_simhash_near_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_embedding_cosine": _q_embedding_near_dup,
-        "dedup_semantic": _q_semantic_dedup,
-        "dedup_containment": _q_containment,
-        "text_novelty": _q_novelty,
-        "text_lang_confusion": _q_lang_confusion,
-        "text_vocab_growth": _q_vocab_growth,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "streaming_funnel": _q_streaming_funnel,
-        "graph_rich_club": _q_rich_club,
-        "graph_hub_ego": _q_hub_ego,
-        "graph_quadrilaterals": _q_quadrilaterals,
-        "graph_katz": _q_katz,
-        "pagerank_spam_mass": _q_spam_mass,
-        "ingest_resolve_redirects": _q_resolve_redirects,
         "text_token_count": _q_token_count,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprint": _q_fingerprint,
-        "text_pii_redact": _q_pii_redact,
-        "corpus_host_cap": _q_host_cap,
-        "corpus_decontaminate": _q_decontaminate,
         "text_sample_stratified": _q_stratified_sample,
         "text_corpus_stats": _q_corpus_stats,
-        "text_filtered_corpus": _q_filtered_corpus,
-        "text_repetition_stats": _q_repetition_stats,
-        "text_lm_score": _q_lm_score,
-        "text_lm_buckets": _q_lm_buckets,
-        "text_tfidf_top_terms": _q_tfidf_top_terms,
-        "text_top_ngrams": _q_top_ngrams,
-        "sketch_kmv_shingles": _q_kmv_shingles,
-        "sketch_hll_shingles": _q_hll_shingles,
-        "sketch_countmin_tokens": _q_countmin_tokens,
-        "web_mirror_hosts": _q_mirror_hosts,
-        "text_bm25_topk": _q_bm25_topk,
-        "ingest_lang_propagate": _q_lang_propagate,
-        "ingest_crawl_frontier": _q_crawl_frontier,
-        "ingest_edge_churn": _q_edge_churn,
-        "pagerank_warm_start": _q_pagerank_warm,
-        "pagerank_rank_churn": _q_rank_churn,
-        "components_incremental": _q_components_incremental,
-        "streaming_countmin": _q_streaming_countmin,
-        "ingest_url_templates": _q_url_templates,
-        "ingest_backlink_report": _q_backlink_report,
-        "ingest_orphan_pages": _q_orphan_pages,
-        "web_bloom_url_seen": _q_bloom_url_seen,
-        "text_bpe_pair_counts": _q_bpe_pairs,
-        "text_pack_sequences": _q_pack_sequences,
-        "text_mixture_weights": _q_mixture_weights,
-        "graph_component_sizes": _q_component_sizes,
-        "text_corpus_mix_report": _q_corpus_mix_report,
-        "text_token_percentiles": _q_token_percentiles,
         "ann_cosine_topk": _q_cosine_topk,
-        "embedding_kmeans": _q_kmeans,
-        "embedding_kmeans_pp": _q_kmeans_pp,
-        "ann_ivf_topk": _q_ivf_topk,
-        "ann_ivf_recall": _q_ivf_recall,
-        "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "ann_lsh_bucket_pairs": _q_lsh_bucket_pairs,
         "ann_random_plane_lsh": _q_random_plane_lsh,
         "media_stats": _q_media_stats,
         "media_frame_sample": _q_frame_sample,
-        "media_resize": _q_media_resize,
-        "media_features": _q_media_features,
         "events_windowed": _q_events_windowed,
-        "events_sessionized": _q_events_sessionized,
         "streaming_triangles": _q_streaming_triangles,
-        "streaming_dedup": _q_streaming_dedup,
-        "streaming_user_stats": _q_streaming_user_stats,
-        "streaming_attribution": _q_streaming_attribution,
     }
 
 
@@ -2129,9 +2196,12 @@ def oracle_sql() -> dict[str, str]:
         "text_corpus_mix_report": oracles.corpus_mix_report_sql(min_score=0.5),
         "text_token_percentiles": oracles.token_percentiles_sql(),
         "dedup_embedding_cosine": oracles.embedding_near_dup_sql(
-            threshold=EMB_NEAR_DUP_THRESHOLD
+            threshold=EMB_NEAR_DUP_THRESHOLD,
+            emb_rel=oracles.planted_embeddings_cte(),
         ),
-        "dedup_semantic": oracles.semantic_dedup_sql(threshold=0.4),
+        "dedup_semantic": oracles.semantic_dedup_sql(
+            threshold=0.9, emb_rel=oracles.planted_embeddings_cte()
+        ),
         "dedup_containment": oracles.containment_sql(min_pct=60),
         "text_novelty": oracles.novelty_sql(),
         "text_lang_confusion": oracles.lang_confusion_sql(),

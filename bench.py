@@ -59,9 +59,31 @@ def pr_edges(spark, sf_dir):
     )
 
 
+def wait_for_quiet_window(
+    max_wait_sec: float, load_bar: float = 1.5, poll_sec: float = 15.0
+) -> float:
+    """Bounded wait for a quiet host window before timing anything.
+
+    The box is shared and phases between quiet and 2x-degraded windows
+    (BENCH/RUNS.md r4: a loadavg-4 start recorded phantom regressions
+    the same-day quiet preflights refuted). Waiting a bounded amount
+    for 1-min loadavg < `load_bar` makes the recorded artifact measure
+    the ENGINE, not the window. Returns seconds actually waited; gives
+    up (and proceeds) after `max_wait_sec` so the harness can never
+    hang the driver."""
+    waited = 0.0
+    while os.getloadavg()[0] >= load_bar and waited < max_wait_sec:
+        time.sleep(poll_sec)
+        waited += poll_sec
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    quiet_wait = wait_for_quiet_window(
+        float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
+    )
     spark = get_spark(app_name="wetric-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -607,3 +607,64 @@ def test_retention_cohorts_exact_on_tiny_events(spark):
         (r.cohort_week - min0, r.week_offset): r.active_users for r in rows_out
     }
     assert out == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1}
+
+
+def test_lm_buckets_matches_window_ntile_uneven(spark):
+    """The distributed closed-form bucket assignment must reproduce SQL
+    NTILE exactly, including the uneven-remainder split (first `rem`
+    buckets get the extra row) and langs smaller than n_buckets."""
+    import pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.textstats import (
+        lm_buckets,
+        lm_score,
+    )
+
+    # 10 'en' docs (10 % 3 == 1 -> bucket sizes 4/3/3), 5 'fr'
+    # (5 % 3 == 2 -> 2/2/1), 2 'de' (fewer docs than buckets -> 1/1)
+    rows = []
+    did = 0
+    for lang, n in [("en", 10), ("fr", 5), ("de", 2)]:
+        for i in range(n):
+            rows.append((did, ("a b " * (i + 1)).strip() + " c d", lang))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    for nb in (1, 2, 3, 4, 7):
+        got = {
+            (r.lang, r.bucket): (r.n_docs, r.min_ppm, r.max_ppm)
+            for r in lm_buckets(df, n_buckets=nb).collect()
+        }
+        ref = (
+            df.select("doc_id", "lang")
+            .join(lm_score(df).select("doc_id", "avg_p_ppm"), "doc_id", "left")
+            .select(
+                "lang",
+                "doc_id",
+                F.coalesce("avg_p_ppm", F.lit(-1)).alias("score_ppm"),
+            )
+            .withColumn(
+                "bucket",
+                F.ntile(nb).over(
+                    Window.partitionBy("lang").orderBy(
+                        F.col("score_ppm").desc(), F.col("doc_id").asc()
+                    )
+                ),
+            )
+            .groupBy("lang", "bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("score_ppm").alias("min_ppm"),
+                F.max("score_ppm").alias("max_ppm"),
+            )
+        )
+        want = {
+            (r.lang, r.bucket): (r.n_docs, r.min_ppm, r.max_ppm)
+            for r in ref.collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+    with pytest.raises(ValueError):
+        lm_buckets(df, n_buckets=0)

@@ -405,3 +405,27 @@ def test_eigencentrality_round_single_edge_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_lm_buckets_plan_has_no_single_partition_sort(spark):
+    """lm_buckets' per-lang ranking must stay distributed: a
+    `ntile().over(partitionBy(lang))` would sort every document of a
+    language in ONE task (on a real crawl `en` is >50% of documents).
+    The rewrite uses the two-pass range-partitioned rank, so the
+    executed plan must contain no Window operator and no
+    SinglePartition exchange anywhere."""
+    from wedge_parallel_triangle_counting_spark.operators.textstats import lm_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(lm_buckets(docs))
+    assert "Window" not in plan, plan
+    # SinglePartition exchanges only for 1-row scalar aggregates
+    # (lm_score's global vocab countDistinct — map-side combined);
+    # never feeding a Sort, which would be the single-task ranking.
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            parent = lines[i - 1] if i else ""
+            assert "Sort" not in parent, plan
+    # and the data-path sort is the range-partitioned kind
+    assert "rangepartitioning" in plan.lower(), plan

@@ -230,6 +230,55 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: s
     return agged.select("doc_id", sim.alias("simhash"))
 
 
+def plant_near_dup_embeddings(
+    emb: DataFrame,
+    every: int = 7,
+    phase: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic near-duplicate planting fixture: every vector
+    whose id ≡ `phase` (mod `every`) is REPLACED in place by a
+    perturbed copy of its predecessor's vector (first coordinate
+    scaled ×1.25, rest verbatim), creating (id−1, id) pairs at cosine
+    ≈0.97 — the ≥0.9 regime a real near-dup corpus exercises, which
+    the raw synthetic embeddings (pairwise cosine ceiling ~0.51) never
+    reach. Replacing in place keeps the id space intact, so documents
+    joins and cluster assignments stay valid; partner ids are
+    ≡ phase−1 (mod every), never themselves replaced, so pairs never
+    chain. Sign pattern is preserved (×1.25 on one coordinate), so
+    axis-sign LSH recalls every planted pair by construction. All
+    arithmetic is double (float widened exactly, ×1.25 IEEE-rounded
+    identically on both engines) — mirrored bit for bit by
+    plans/oracles.planted_embeddings_cte."""
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("embedding"),
+        "label",
+    )
+    partner = base.select(
+        (F.col("vec_id") + F.lit(1)).alias("vec_id"),
+        F.col("embedding").alias("p_emb"),
+    )
+    perturbed = F.expr(
+        "concat(array(p_emb[0] * 1.25D), slice(p_emb, 2, size(p_emb) - 1))"
+    )
+    return (
+        base.join(partner, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(
+                (F.col("vec_id") % F.lit(every) == F.lit(phase))
+                & F.col("p_emb").isNotNull(),
+                perturbed,
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            "label",
+        )
+    )
+
+
 def embedding_near_dup(
     docs: DataFrame,
     emb: DataFrame,

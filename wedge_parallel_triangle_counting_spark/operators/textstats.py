@@ -262,27 +262,76 @@ def lm_buckets(
     ntile boundary engine-stable; every output column is exact
     integer/bigint.
 
-    Scale shape: lm_score's bigram join + one per-lang window rank
-    over (doc_id, score) pairs — the window input is two bigints per
-    document, NOT the text, so the sort per language partition is the
-    cheap kind; output cardinality = #langs x n_buckets."""
-    from pyspark.sql import Window
+    Scale shape: lm_score's bigram join, then an EXACT-ntile bucket
+    assignment with NO per-language single-task sort. A naive
+    `ntile().over(Window.partitionBy(lang))` funnels every document of
+    a language through one task — on a real web corpus `en` is >50% of
+    the crawl, i.e. one task ranking billions of rows. Instead the
+    global rank follows the repo's two-pass zipWithIndex pattern
+    (ids.assign_contiguous_ids_with_count) over the total order
+    (lang ASC, score DESC, doc_id ASC): range-partitioned distributed
+    sort + broadcast per-partition offsets. Per-lang rank = global id −
+    lang start offset, where the start offsets come from a prefix sum
+    over the per-lang count table (#langs rows — bounded, tiny). The
+    ntile bucket is then the closed-form function of (rank, lang
+    count, n_buckets), bit-identical to SQL NTILE. All JVM expressions
+    after the Arrow id pass; output cardinality = #langs x n_buckets."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from .ids import assign_contiguous_ids_with_count
 
     scores = lm_score(docs, id_col=id_col, text_col=text_col)
+    # LEFT join from docs: per-lang doc counts are guaranteed by
+    # construction even if lm_score ever dropped scoreless docs (the
+    # -1 sentinel below absorbs the NULL either way).
     joined = docs.select(
         F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("lang")
-    ).join(scores.select("doc_id", "avg_p_ppm"), "doc_id")
-    ranked = joined.select(
+    ).join(scores.select("doc_id", "avg_p_ppm"), "doc_id", "left")
+    base = joined.select(
         "lang",
         "doc_id",
         F.coalesce(F.col("avg_p_ppm"), F.lit(-1)).alias("score_ppm"),
-    ).withColumn(
-        "bucket",
-        F.ntile(n_buckets).over(
-            Window.partitionBy("lang").orderBy(
-                F.col("score_ppm").desc(), F.col("doc_id").asc()
-            )
-        ),
+    ).withColumn("neg_score", -F.col("score_ppm"))
+    # Pass 1+2: global contiguous id following (lang, score desc, doc).
+    with_gid, _total = assign_contiguous_ids_with_count(
+        base, ["lang", "neg_score", "doc_id"], id_col="gid"
+    )
+    # Per-lang start offsets: prefix sum over the per-lang count table
+    # (cardinality = #langs — bounded, ~hundreds on a real crawl), done
+    # driver-side exactly like ids.py's per-partition offsets so the
+    # physical plan carries NO single-partition sort at all. NULL lang
+    # sorts first here (python None-first key) to match
+    # repartitionByRange's asc null ordering in the gid pass.
+    spark = docs.sparkSession
+    rows = base.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    rows.sort(key=lambda r: (r["lang"] is not None, r["lang"]))
+    off_rows, acc = [], 0
+    for r in rows:
+        off_rows.append((r["lang"], int(r["cnt"]), acc))
+        acc += int(r["cnt"])
+    offsets = spark.createDataFrame(
+        off_rows, schema="lang2 string, cnt bigint, lang_off bigint"
+    )
+    nb = F.lit(int(n_buckets))
+    ranked = (
+        with_gid.join(
+            F.broadcast(offsets),
+            with_gid["lang"].eqNullSafe(offsets["lang2"]),
+        )
+        .drop("lang2")
+        .withColumn("rnk", F.col("gid") - F.col("lang_off") + F.lit(1))
+        .withColumn("bsz", F.expr("cnt DIV %d" % int(n_buckets)))
+        .withColumn("rem", F.col("cnt") % nb)
+        .withColumn("cut", F.col("rem") * (F.col("bsz") + F.lit(1)))
+        .withColumn(
+            "bucket",
+            F.when(
+                F.col("rnk") <= F.col("cut"),
+                F.expr("(rnk + bsz) DIV (bsz + 1)"),
+            ).otherwise(
+                F.expr("rem + (rnk - cut + bsz - 1) DIV bsz")
+            ),
+        )
     )
     return ranked.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -2038,6 +2038,8 @@ def lm_buckets_sql(n_buckets: int = 3) -> str:
     over (score DESC, doc_id ASC); the -1 sentinel for bigram-less
     docs keeps the order null-free (DuckDB and Spark disagree on
     default null placement for ASC)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     lm = lm_score_sql()
     return f"""
 WITH scored AS (
@@ -2604,8 +2606,31 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def planted_embeddings_cte(every: int = 7, phase: int = 3) -> str:
+    """Mirrors dedup.plant_near_dup_embeddings bit for bit: vectors
+    with vec_id ≡ phase (mod every) replaced in place by the
+    predecessor's vector with coordinate 1 scaled ×1.25, everything
+    widened to DOUBLE (exact float→double widening + one IEEE double
+    multiply on both engines). Use as an inline relation via the
+    emb_rel parameter of the embedding oracles."""
+    return f"""(
+    SELECT b.vec_id,
+           CASE WHEN b.vec_id % {every} = {phase} AND p.vec_id IS NOT NULL
+                THEN list_concat([CAST(p.embedding[1] AS DOUBLE) * 1.25],
+                                 list_transform(p.embedding[2:],
+                                                x -> CAST(x AS DOUBLE)))
+                ELSE list_transform(b.embedding, x -> CAST(x AS DOUBLE))
+           END AS embedding,
+           b.label
+    FROM embeddings b LEFT JOIN embeddings p ON p.vec_id = b.vec_id - 1
+)""".strip()
+
+
 def lsh_bucket_pairs_sql(
-    threshold: float = 0.2, nbits: int | None = None, stride: int = 8
+    threshold: float = 0.2,
+    nbits: int | None = None,
+    stride: int = 8,
+    emb_rel: str = "embeddings",
 ) -> str:
     """nbits=None mirrors similarity.derive_axis_nbits exactly:
     min(24, (dim-1)//stride + 1, max(8, bit_length(N-1))) — DuckDB's
@@ -2619,7 +2644,7 @@ def lsh_bucket_pairs_sql(
     SELECT least(24,
                  (max(length(embedding)) - 1) // {stride} + 1,
                  greatest(8, length(bin(greatest(count(*), 1) - 1)))) AS nbits
-    FROM embeddings
+    FROM {emb_rel}
 """.strip()
     return f"""
 WITH params AS (
@@ -2631,7 +2656,7 @@ bits AS (
 base AS (
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
+    FROM {emb_rel}
 ),
 bucketed AS (
     SELECT base.vec_id,
@@ -2655,12 +2680,15 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
 
 
 def embedding_near_dup_sql(
-    threshold: float = 0.9, nbits: int | None = None, stride: int = 8
+    threshold: float = 0.9,
+    nbits: int | None = None,
+    stride: int = 8,
+    emb_rel: str = "embeddings",
 ) -> str:
     """Mirrors dedup.embedding_near_dup: the axis-sign LSH pair list
     (lsh_bucket_pairs_sql, bit-identical buckets and cosines), min-id
     keeper per duplicate, lang joined from documents."""
-    pairs = lsh_bucket_pairs_sql(threshold, nbits, stride)
+    pairs = lsh_bucket_pairs_sql(threshold, nbits, stride, emb_rel=emb_rel)
     return f"""
 WITH pairs AS (
 {pairs}
@@ -3400,7 +3428,9 @@ GROUP BY a.doc_id, b.doc_id
 """.strip()
 
 
-def _kmeans_ctes(k: int, num_iters: int, init: str = "hash") -> list[str]:
+def _kmeans_ctes(
+    k: int, num_iters: int, init: str = "hash", emb_rel: str = "embeddings"
+) -> list[str]:
     """Shared CTE chain for kmeans_sql / ivf_topk_sql: quantize to
     offset integers, seed (smallest-md5 "hash" init or deterministic
     farthest-first "farthest" init, mirroring kmeans.py), Lloyd
@@ -3411,10 +3441,10 @@ def _kmeans_ctes(k: int, num_iters: int, init: str = "hash") -> list[str]:
         "dims AS (SELECT vec_id, i, "
         f"CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
         f"+ {offset} AS val "
-        "FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i))",
+        f"FROM {emb_rel}, unnest(generate_series(1, len(embedding))) AS u(i))",
         "seedh AS (SELECT vec_id, "
         "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h "
-        "FROM embeddings)",
+        f"FROM {emb_rel})",
     ]
     if init == "farthest":
         ctes.append(
@@ -3624,17 +3654,20 @@ def ivf_pq_topk_sql(
 
 
 def semantic_dedup_sql(
-    k: int = 8, num_iters: int = 3, threshold: float = 0.4
+    k: int = 8,
+    num_iters: int = 3,
+    threshold: float = 0.4,
+    emb_rel: str = "embeddings",
 ) -> str:
     """Mirrors operators/dedup.py::semantic_dedup_pairs: the kmeans
     chain, then within-cluster cosine pairs (id_a < id_b) at the
     threshold, cos rounded to 1e-6."""
     T = num_iters
-    ctes = _kmeans_ctes(k, num_iters)
+    ctes = _kmeans_ctes(k, num_iters, emb_rel=emb_rel)
     ctes += [
         f"sbase AS (SELECT CAST(e.vec_id AS BIGINT) AS vid, "
         f"list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v, "
-        f"a.cluster FROM embeddings e JOIN asg{T} a ON a.vec_id = e.vec_id)",
+        f"a.cluster FROM {emb_rel} e JOIN asg{T} a ON a.vec_id = e.vec_id)",
         "snrm AS (SELECT vid, v, cluster, "
         "sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM sbase)",
         f"spairs AS (SELECT a.vid AS id_a, b.vid AS id_b, "

@@ -51,12 +51,16 @@ def run_streaming_dedup(
     docs_dir: str,
     checkpoint_dir: str,
     prefix_tokens: int | None = 3,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay the parquet files in `docs_dir` as a stream
     (Trigger.AvailableNow), maintain the dedup aggregation
     incrementally, and return the final memory-sink table."""
     schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
     agg = dedup_groups(stream, prefix_tokens=prefix_tokens)
     q = (
         agg.writeStream.format("memory")

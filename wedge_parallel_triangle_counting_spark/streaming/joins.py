@@ -74,16 +74,16 @@ def run_streaming_attribution(
     events_dir: str,
     checkpoint_dir: str,
     watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """The same join as a real stream-stream inner join: two file-source
     streams over the same replay dir (one per side), watermarks on both
     event times, availableNow trigger, append to a memory sink."""
     schema = spark.read.parquet(events_dir).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     views, clicks = _sides(raw)
     views = views.withWatermark("view_ts", watermark)
     clicks = clicks.withWatermark("click_ts", watermark)

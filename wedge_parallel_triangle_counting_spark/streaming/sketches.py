@@ -47,13 +47,19 @@ def _token_stream(docs: DataFrame) -> DataFrame:
 
 
 def run_streaming_countmin(
-    spark: SparkSession, docs_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay the parquet documents as a stream (availableNow),
     maintain the count-min counter table incrementally, and return the
     final memory-sink counter table (r, b, cnt)."""
     schema = spark.read.parquet(docs_dir).schema
-    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
     counters = countmin_sketch_table(_token_stream(stream), "tok")
     q = (
         counters.writeStream.format("memory")
