@@ -118,12 +118,44 @@ for _ in range(reps):
     pagerank(pea, num_iters=5).count()
     pr_secs.append(round(time.perf_counter() - t0, 2))
 
+# --- dedup pipeline stage (VERDICT r4 item 6) --------------------------
+# minhash LSH candidate pairs -> connected components over the pair
+# graph, on a DK-fold MIRRORED documents corpus (each copy keeps the
+# text verbatim with a shifted doc_id) — exactly the mirrored-host
+# duplicate regime a web crawl presents, so the LSH banding join and
+# the CC over the dup graph both do real cross-copy work. Invariants
+# checked across parallelism: pair count and cluster count.
+from wedge_parallel_triangle_counting_spark.operators.dedup import minhash_lsh_pairs
+from wedge_parallel_triangle_counting_spark.operators.components import (
+    connected_components,
+)
+
+DK = int(os.environ.get("SPARK_GRAFT_DEDUP_AMPLIFY", "4"))
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+damp = docs.crossJoin(spark.range(DK).withColumnRenamed("id", "copy")).select(
+    (F.col("doc_id") + F.col("copy") * 1000000).alias("doc_id"), "text"
+).persist()
+n_docs = damp.count()
+dd_secs = []; n_pairs = n_clusters = None
+for _ in range(reps):
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(damp).persist()
+    n_pairs = pairs.count()
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    n_clusters = cc.agg(F.countDistinct("component")).collect()[0][0]
+    dd_secs.append(round(time.perf_counter() - t0, 2))
+    pairs.unpersist()
+
 print("RESULT " + json.dumps({
     "cpus": cpus, "triangles": tri, "m_raw": m_raw, "m_oriented": mo,
     "e2e_sec": min(e2e_secs), "e2e_secs": e2e_secs,
     "prep_sec": prep_sec, "copy_sec": copy_sec,
     "exec_sec": min(exec_secs), "exec_secs": exec_secs,
     "pagerank5_sec": min(pr_secs), "pr_secs": pr_secs,
+    "dedup_sec": min(dd_secs), "dd_secs": dd_secs,
+    "n_docs": n_docs, "n_pairs": n_pairs, "n_clusters": n_clusters,
 }))
 spark.stop()
 """.replace("__REPO__", REPO)
@@ -153,6 +185,8 @@ def main() -> None:
         lo = run(N)
         hi = run(4 * N)
     assert lo["triangles"] == hi["triangles"], "counts differ across parallelism!"
+    assert lo["n_pairs"] == hi["n_pairs"] and lo["n_clusters"] == hi["n_clusters"], \
+        "dedup invariants differ across parallelism!"
     summary = {
         "sf_dir": SF_DIR, "N": N, "amplify": AMPLIFY, "order": ORDER,
         "m_raw": lo["m_raw"], "m_oriented": lo["m_oriented"],
@@ -165,6 +199,10 @@ def main() -> None:
         "copy_sec": [lo["copy_sec"], hi["copy_sec"]],
         "pagerank5_sec": [lo["pagerank5_sec"], hi["pagerank5_sec"]],
         "pr_efficiency": eff(lo["pagerank5_sec"], hi["pagerank5_sec"]),
+        "dedup_sec": [lo["dedup_sec"], hi["dedup_sec"]],
+        "dedup_efficiency": eff(lo["dedup_sec"], hi["dedup_sec"]),
+        "n_docs": lo["n_docs"], "n_pairs": lo["n_pairs"],
+        "n_clusters": lo["n_clusters"],
         "raw": {"N": lo, "4N": hi},
     }
     print(json.dumps(summary))
@@ -172,6 +210,7 @@ def main() -> None:
     ee = summary["e2e_efficiency"]
     xe = summary["exec_efficiency"]
     pe_ = summary["pr_efficiency"]
+    de_ = summary["dedup_efficiency"]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "LAST_SCALING.md"), "w") as f:
         f.write(f"""# BENCH/LAST_SCALING — most recent scaling run (raw; curated history in BASELINE.md/RUNS.md)
@@ -199,12 +238,16 @@ meaningful. Timing follows the reference's accounting split
 | exec (wedge enumerate + closure probe) | {lo['exec_sec']:.2f} s | {hi['exec_sec']:.2f} s | **{xe:.3f}** |
 | end-to-end (prep + distributed-closure count) | {lo['e2e_sec']:.2f} s | {hi['e2e_sec']:.2f} s | **{ee:.3f}** |
 | PageRank 5 iterations | {lo['pagerank5_sec']:.2f} s | {hi['pagerank5_sec']:.2f} s | **{pe_:.3f}** |
+| dedup stage (MinHash-LSH pairs → CC clusters) | {lo['dedup_sec']:.2f} s | {hi['dedup_sec']:.2f} s | **{de_:.3f}** |
 | prep (fused symmetrize→degrees→orient, one shuffle) | {lo['prep_sec']:.2f} s | {hi['prep_sec']:.2f} s | — |
 | probe build ("copy") | {lo['copy_sec']:.2f} s | {hi['copy_sec']:.2f} s | — |
 
 Exec throughput: {lo['m_oriented'] / lo['exec_sec']:,.0f} edges/s @ N,
 {lo['m_oriented'] / hi['exec_sec']:,.0f} edges/s @ 4N.
 Triangles: {lo['triangles']:,} at both levels (determinism invariant).
+Dedup stage: {lo['n_docs']:,} mirrored docs → {lo['n_pairs']:,} LSH
+pairs → {lo['n_clusters']:,} clusters, identical at both levels;
+runs N={lo['dd_secs']}, 4N={hi['dd_secs']}.
 All runs: e2e N={lo['e2e_secs']}, 4N={hi['e2e_secs']};
 exec N={lo['exec_secs']}, 4N={hi['exec_secs']};
 pagerank N={lo['pr_secs']}, 4N={hi['pr_secs']}.
