@@ -132,20 +132,27 @@ from wedge_parallel_triangle_counting_spark.operators.components import (
 
 DK = int(os.environ.get("SPARK_GRAFT_DEDUP_AMPLIFY", "4"))
 docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+# repartition the mirrored corpus: the broadcast crossJoin inherits the
+# 1-file parquet's partitioning, which would run the shingle/minhash
+# explode stage serially at BOTH levels and poison the efficiency read
 damp = docs.crossJoin(spark.range(DK).withColumnRenamed("id", "copy")).select(
     (F.col("doc_id") + F.col("copy") * 1000000).alias("doc_id"), "text"
-).persist()
+).repartition(max(cpus * 2, 8), "doc_id").persist()
 n_docs = damp.count()
-dd_secs = []; n_pairs = n_clusters = None
+dd_secs = []; dd_lsh_secs = []; dd_cc_secs = []; n_pairs = n_clusters = None
 for _ in range(reps):
     t0 = time.perf_counter()
     pairs = minhash_lsh_pairs(damp).persist()
     n_pairs = pairs.count()
+    t1 = time.perf_counter()
     cc = connected_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
     n_clusters = cc.agg(F.countDistinct("component")).collect()[0][0]
-    dd_secs.append(round(time.perf_counter() - t0, 2))
+    t2 = time.perf_counter()
+    dd_lsh_secs.append(round(t1 - t0, 2))
+    dd_cc_secs.append(round(t2 - t1, 2))
+    dd_secs.append(round(t2 - t0, 2))
     pairs.unpersist()
 
 print("RESULT " + json.dumps({
@@ -155,6 +162,7 @@ print("RESULT " + json.dumps({
     "exec_sec": min(exec_secs), "exec_secs": exec_secs,
     "pagerank5_sec": min(pr_secs), "pr_secs": pr_secs,
     "dedup_sec": min(dd_secs), "dd_secs": dd_secs,
+    "dd_lsh_secs": dd_lsh_secs, "dd_cc_secs": dd_cc_secs,
     "n_docs": n_docs, "n_pairs": n_pairs, "n_clusters": n_clusters,
 }))
 spark.stop()
@@ -247,7 +255,9 @@ Exec throughput: {lo['m_oriented'] / lo['exec_sec']:,.0f} edges/s @ N,
 Triangles: {lo['triangles']:,} at both levels (determinism invariant).
 Dedup stage: {lo['n_docs']:,} mirrored docs → {lo['n_pairs']:,} LSH
 pairs → {lo['n_clusters']:,} clusters, identical at both levels;
-runs N={lo['dd_secs']}, 4N={hi['dd_secs']}.
+runs N={lo['dd_secs']}, 4N={hi['dd_secs']}
+(lsh N={lo['dd_lsh_secs']} / 4N={hi['dd_lsh_secs']},
+cc N={lo['dd_cc_secs']} / 4N={hi['dd_cc_secs']}).
 All runs: e2e N={lo['e2e_secs']}, 4N={hi['e2e_secs']};
 exec N={lo['exec_secs']}, 4N={hi['exec_secs']};
 pagerank N={lo['pr_secs']}, 4N={hi['pr_secs']}.
