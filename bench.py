@@ -72,7 +72,15 @@ def wait_for_quiet_window(
     up (and proceeds) after `max_wait_sec` so the harness can never
     hang the driver."""
     waited = 0.0
-    while os.getloadavg()[0] >= load_bar and waited < max_wait_sec:
+    while waited < max_wait_sec:
+        one, five, _ = os.getloadavg()
+        # Gate on BOTH averages: a 1-min reading can decay to ~0 inside
+        # the 5-min tail of a prior 32-thread burst, and runs launched
+        # in that tail still record 1.5-2x degraded per-query times
+        # (BENCH/RUNS.md r5 preflights: 1-min 0.46 / 5-min 3.14 start
+        # gave wedge 4.54s vs the 2.6-3.0s quiet plateau).
+        if one < load_bar and five < 2.0 * load_bar:
+            break
         time.sleep(poll_sec)
         waited += poll_sec
     return waited
@@ -84,6 +92,13 @@ def main() -> None:
     quiet_wait = wait_for_quiet_window(
         float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "600"))
     )
+    # Ambient host load, sampled BEFORE the Spark session exists: this
+    # is the number that says whether the run landed in a quiet window.
+    # (Sampling after warm-up would measure our own 32-thread warm-up
+    # burst — r4's artifact did exactly that and read 4-6 on an
+    # otherwise idle box.)
+    ambient_loadavg = round(os.getloadavg()[0], 2)
+    ambient_loadavg_5m = round(os.getloadavg()[1], 2)
     spark = get_spark(app_name="wetric-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -102,7 +117,12 @@ def main() -> None:
     # host context: the box is shared and phases between quiet and
     # 2x-degraded windows (BENCH/RUNS.md) — record the load so a
     # reader can judge the window this run landed in
-    extra["loadavg_start"] = round(os.getloadavg()[0], 2)
+    extra["loadavg_start"] = ambient_loadavg
+    extra["loadavg_start_5min"] = ambient_loadavg_5m
+    extra["quiet_wait_sec"] = round(quiet_wait, 1)
+    # post-warm-up load is dominated by our own JVM burst; recorded
+    # separately so it can't be mistaken for ambient contention
+    extra["loadavg_after_warmup"] = round(os.getloadavg()[0], 2)
 
     def timed(name, fn, repeats=3):
         # best-of-k INCLUDING the first run (the suite-level warm-up
