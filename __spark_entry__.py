@@ -1777,20 +1777,21 @@ def _q_streaming_attribution(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order = verification priority: the driver's per-round
+    # CORRECTNESS check covers the first ~50 keys, so queries that have
+    # never received a driver or judge verification cell lead (52 as of
+    # round 5, the two with standalone pytest recall gates at positions
+    # 51-52), then the judge-verified-but-never-driver-checked block,
+    # then the 79 with driver cells from r01-r04.
     return {
         "graph_louvain_move": _q_louvain_move,
         "graph_community_contract": _q_community_contract,
-        "graph_louvain_level2": _q_louvain_level2,
         "graph_ppr_push": _q_ppr_push,
         "graph_sweep_cut": _q_sweep_cut,
-        "graph_scc": _q_scc,
         "graph_bowtie": _q_bowtie,
-        "graph_densest": _q_densest,
         "graph_modularity": _q_modularity,
         "graph_transitivity": _q_transitivity,
-        "graph_betweenness": _q_betweenness,
         "graph_double_sweep": _q_double_sweep,
-        "graph_sssp": _q_sssp,
         "ingest_canonical_urls": _q_canonical_urls,
         "text_boilerplate_removal": _q_boilerplate_removal,
         "ingest_anchor_profile": _q_anchor_profile,
@@ -1798,27 +1799,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_eval": _q_lsh_dedup_eval,
         "dedup_minhash_calibration": _q_minhash_estimate_eval,
         "dedup_embedding_cosine": _q_embedding_near_dup,
-        "dedup_semantic": _q_semantic_dedup,
-        "dedup_containment": _q_containment,
         "text_novelty": _q_novelty,
         "text_lang_confusion": _q_lang_confusion,
         "text_vocab_growth": _q_vocab_growth,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
-        "streaming_funnel": _q_streaming_funnel,
         "graph_rich_club": _q_rich_club,
         "graph_hub_ego": _q_hub_ego,
         "graph_quadrilaterals": _q_quadrilaterals,
-        "graph_katz": _q_katz,
-        "pagerank_spam_mass": _q_spam_mass,
         "ingest_resolve_redirects": _q_resolve_redirects,
         "text_pii_redact": _q_pii_redact,
         "corpus_host_cap": _q_host_cap,
         "corpus_decontaminate": _q_decontaminate,
         "text_filtered_corpus": _q_filtered_corpus,
         "text_repetition_stats": _q_repetition_stats,
-        "text_lm_score": _q_lm_score,
-        "text_lm_buckets": _q_lm_buckets,
         "text_tfidf_top_terms": _q_tfidf_top_terms,
         "text_top_ngrams": _q_top_ngrams,
         "sketch_kmv_shingles": _q_kmv_shingles,
@@ -1832,25 +1826,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_start": _q_pagerank_warm,
         "pagerank_rank_churn": _q_rank_churn,
         "components_incremental": _q_components_incremental,
-        "streaming_countmin": _q_streaming_countmin,
-        "ingest_url_templates": _q_url_templates,
         "ingest_backlink_report": _q_backlink_report,
         "ingest_orphan_pages": _q_orphan_pages,
-        "web_bloom_url_seen": _q_bloom_url_seen,
         "text_bpe_pair_counts": _q_bpe_pairs,
-        "text_pack_sequences": _q_pack_sequences,
         "text_mixture_weights": _q_mixture_weights,
         "graph_component_sizes": _q_component_sizes,
         "text_corpus_mix_report": _q_corpus_mix_report,
         "text_token_percentiles": _q_token_percentiles,
-        "embedding_kmeans": _q_kmeans,
-        "embedding_kmeans_pp": _q_kmeans_pp,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_recall": _q_ivf_recall,
+        "events_sessionized": _q_events_sessionized,
+        "graph_louvain_level2": _q_louvain_level2,
+        "graph_scc": _q_scc,
+        "graph_densest": _q_densest,
+        "graph_betweenness": _q_betweenness,
+        "graph_sssp": _q_sssp,
+        "dedup_semantic": _q_semantic_dedup,
+        "dedup_containment": _q_containment,
+        "streaming_funnel": _q_streaming_funnel,
+        "graph_katz": _q_katz,
+        "pagerank_spam_mass": _q_spam_mass,
+        "text_lm_score": _q_lm_score,
+        "text_lm_buckets": _q_lm_buckets,
+        "streaming_countmin": _q_streaming_countmin,
+        "ingest_url_templates": _q_url_templates,
+        "web_bloom_url_seen": _q_bloom_url_seen,
+        "text_pack_sequences": _q_pack_sequences,
+        "embedding_kmeans": _q_kmeans,
+        "embedding_kmeans_pp": _q_kmeans_pp,
         "ann_ivf_pq_topk": _q_ivf_pq_topk,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
-        "events_sessionized": _q_events_sessionized,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_user_stats": _q_streaming_user_stats,
         "streaming_attribution": _q_streaming_attribution,
