@@ -1,9 +1,9 @@
 """Root-cause experiment for the 4N exec plateau (BENCH/RUNS.md r6-b).
 
-Observation to explain: at 32x amplify the staged exec phase reads
-~11.5 s on 8 CPUs and plateaus ~5.0 s on 32 CPUs (tight reps across
-r3-a/r6-a/r6-b/r7-b windows), i.e. 8->32 efficiency ~0.57 — while
-r2-c once recorded 2.69 s at 32. The r6-b note flagged a possible
+Observation to explain: at 32x amplify the harness's staged exec
+phase reads ~11 s at N=2 CPUs and plateaus ~5.0 s tight at 4N=8 CPUs
+(r3-a/r6-a/r6-b/r7-b windows), i.e. 2->8 efficiency ~0.55 — while
+r2-c once recorded 2.69 s. The r6-b note flagged a possible
 "cores-dependent driver/JVM effect in the probe-build + enumerate
 lane". This experiment separates the two candidate explanations:
 
@@ -34,6 +34,11 @@ import sys
 
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 AMPLIFY = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+# CPU levels to compare; default 8,32 probes the box's upper tier, the
+# graded harness pair is PLATEAU_LEVELS=2,8 (bench_scaling.py N / 4N)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("PLATEAU_LEVELS", "8,32").split(",")
+)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -99,9 +104,9 @@ def run(cpus: int) -> dict:
 
 def main() -> None:
     print(f"ambient loadavg {os.getloadavg()}")
-    results = {8: [], 32: []}
+    results = {c: [] for c in LEVELS}
     for r in range(ROUNDS):
-        for cpus in (8, 32) if r % 2 == 0 else (32, 8):
+        for cpus in LEVELS if r % 2 == 0 else LEVELS[::-1]:
             res = run(cpus)
             results[cpus].append(res)
             print(json.dumps(res))
