@@ -78,15 +78,15 @@ amp = base.crossJoin(spark.range(K).withColumnRenamed("id", "copy")).select(
     (F.col("d0") + F.col("copy") * 200003).alias("dst")).persist()
 m_raw = amp.count()
 
-# --- e2e: full pipeline with the distributed semi-join closure -------
-e2e_secs = []; tri = None
-for _ in range(min(reps, 2)):
-    t0 = time.perf_counter()
-    tri = T.triangle_count(amp, strategy="wedge", closure="join").collect()[0][0]
-    e2e_secs.append(round(time.perf_counter() - t0, 2))
-    spark.catalog.clearCache(); amp.persist(); amp.count()
-
 # --- staged: prep / copy / exec (reference accounting) ----------------
+# Runs FIRST, in a JVM that has executed nothing but the warm-up: the
+# reference times prep/copy/exec in a standalone process with no prior
+# pipeline in-process (tc.cu:886-913), and the r5-h/r5-i plateau probes
+# measured that running the staged exec AFTER the e2e pipelines in the
+# same JVM inflates the UDF's per-partition CPU-seconds ~1.5x (worker/
+# heap carryover), turning a 3.0-3.5 s phase into the historical ~5.0 s
+# "plateau". The e2e phase absorbs the carryover instead, where the
+# same absolute inflation is relatively negligible on a 45-180 s wall.
 t0 = time.perf_counter()
 oriented, deg, n, max_id, stats = G.prepare_oriented_fast(amp)
 flat = oriented.sortWithinPartitions("src", "dst").persist()
@@ -101,8 +101,22 @@ for _ in range(reps + 2):  # extra warm reps, reference discards run 0
     tri2 = flat.mapInPandas(T._flat_count_udf(probe), schema=T.COUNT_SCHEMA).agg(
         F.coalesce(F.sum("tri"), F.lit(0)).alias("triangles")).collect()[0][0]
     exec_secs.append(round(time.perf_counter() - t0, 2))
-assert tri2 == tri
 exec_secs = exec_secs[2:]
+
+# --- e2e: full pipeline with the distributed semi-join closure -------
+flat.unpersist()
+probe.keys_bc.destroy()          # drop the ~150 MB probe broadcast
+if probe.hub_bc is not None:
+    probe.hub_bc.destroy()
+del probe
+spark.catalog.clearCache(); amp.persist(); amp.count()
+e2e_secs = []; tri = None
+for _ in range(min(reps, 2)):
+    t0 = time.perf_counter()
+    tri = T.triangle_count(amp, strategy="wedge", closure="join").collect()[0][0]
+    e2e_secs.append(round(time.perf_counter() - t0, 2))
+    spark.catalog.clearCache(); amp.persist(); amp.count()
+assert tri2 == tri
 
 # --- pagerank ---------------------------------------------------------
 o = spark.read.parquet(f"{sf_dir}/orders.parquet")
