@@ -31,14 +31,24 @@ def finish_with_caches(
     """Standard tail for a one-shot operator that persisted scratch
     frames: if the caller passed a `caches` list (composition mode),
     hand the persisted frames over and return the LAZY result; else
-    materialize the result eagerly (localCheckpoint) and release the
-    scratch frames immediately, so a session running many queries
-    (the correctness harness runs 70+) never accumulates dead cached
-    blocks."""
+    materialize the result eagerly and release the scratch frames
+    immediately, so a session running many queries (the correctness
+    harness runs 155) never accumulates dead cached blocks.
+
+    Materialization is persist+count, NOT `localCheckpoint(eager=True)`:
+    eager localCheckpoint of a plan containing a broadcast join can
+    deadlock the JVM — the broadcast-exchange thread and the DAG
+    scheduler take the global `RDDCheckpointData$` monitor and an RDD
+    partitions monitor in opposite orders (observed as a Java-level
+    deadlock between `dag-scheduler-event-loop` and
+    `broadcast-exchange-*` under bloom_probe; jstack-confirmed). The
+    one-shot results here are small (sketch/report tables), so lineage
+    truncation buys nothing and persist carries no plan-growth risk."""
     if caches is not None:
         caches.extend(own_caches)
         return df
-    out = df.localCheckpoint(eager=True)
+    out = df.persist()
+    out.count()
     for c in own_caches:
         c.unpersist()
     return out
