@@ -377,7 +377,38 @@ def _collect_long_cols(df: DataFrame, a: str, b: str) -> tuple[np.ndarray, np.nd
 def _numpy_top_hub_ids(src: np.ndarray, dst: np.ndarray, hub_k: int) -> np.ndarray:
     """Top-hub_k vertex ids by (symmetric degree, id) computed from the
     collected oriented edge arrays — each undirected edge appears once,
-    so occurrence count across src∪dst IS the symmetric degree."""
+    so occurrence count across src∪dst IS the symmetric degree.
+
+    Dense-domain fast path: when the id range is comparable to the
+    edge count (always true after rank-relabel, and for contiguous web
+    graphs), two O(m) `np.bincount` passes (summed — no 2m concatenate
+    copy) replace the sort-based `np.unique` over 2m elements —
+    measured ~6x faster on the 32x amplified probe build (copy-phase
+    probe r5-n follow-up: 0.6 s vs 4.1 s at 38.4M elements / 6.4M id
+    domain). Sparse id domains (raw 64-bit hash ids) fall back to
+    np.unique, since a bincount array sized by max_id would explode.
+    Selection semantics are identical in both paths: top hub_k by
+    (count, id)."""
+    if len(src) and len(dst):
+        max_id = max(int(src.max()), int(dst.max()))
+        min_id = min(int(src.min()), int(dst.min()))
+    else:  # degenerate input — the unique path handles it cheaply
+        max_id, min_id = 0, -1
+    if 0 <= min_id and max_id <= max(4 * (len(src) + len(dst)), 1 << 20):
+        counts_all = np.bincount(src, minlength=max_id + 1)
+        counts_all += np.bincount(dst, minlength=max_id + 1)
+        present = np.nonzero(counts_all)[0]
+        if len(present) > hub_k:
+            counts = counts_all[present]
+            # O(n) prefilter to the count threshold, then lexsort only
+            # the candidate set (hub_k + count-ties) — same top hub_k
+            # by (count, id) as the full lexsort in the sparse path
+            kth = np.partition(counts, len(counts) - hub_k)[len(counts) - hub_k]
+            cand = counts >= kth
+            present, counts = present[cand], counts[cand]
+            order = np.lexsort((present, counts))[-hub_k:]
+            present = present[order]
+        return np.sort(present.astype(src.dtype, copy=False))
     ids, counts = np.unique(np.concatenate([src, dst]), return_counts=True)
     if len(ids) > hub_k:
         order = np.lexsort((ids, counts))[-hub_k:]
