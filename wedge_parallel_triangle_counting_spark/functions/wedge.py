@@ -177,10 +177,29 @@ def build_hub_bitmap(
     numpy (8192 → 8 MiB, as the README's -a 8192)."""
     k = len(hub_ids)
     bitmap = np.zeros((k * k + 63) // 64, dtype=np.uint64)
-    if k == 0:
+    if k == 0 or len(src) == 0:
         return bitmap
     lo = np.minimum(src, dst).astype(np.int64)
     hi = np.maximum(src, dst).astype(np.int64)
+    max_id = int(hi.max())
+    min_id = int(lo.min())
+    if 0 <= min_id and max_id <= min(max(4 * 2 * len(src), 1 << 20), 1 << 28):
+        # dense-domain fast path (r5-n follow-up): a byte membership
+        # table turns the hub test into two sequential-gather passes,
+        # and the exact positions are then found by binary search over
+        # ONLY the surviving hub-hub endpoints — vs binary-searching
+        # all 2m endpoints (measured 6s -> <1s at 38.4M endpoints).
+        member = np.zeros(max_id + 1, dtype=bool)
+        member[hub_ids] = True
+        m = member[lo] & member[hi]
+        if m.any():
+            ilo = np.searchsorted(hub_ids, lo[m])  # exact: members only
+            ihi = np.searchsorted(hub_ids, hi[m])
+            bit = ilo * k + ihi
+            np.bitwise_or.at(
+                bitmap, bit >> 6, np.uint64(1) << (bit & 63).astype(np.uint64)
+            )
+        return bitmap
     ilo = np.clip(np.searchsorted(hub_ids, lo), 0, k - 1)
     ihi = np.clip(np.searchsorted(hub_ids, hi), 0, k - 1)
     m = (hub_ids[ilo] == lo) & (hub_ids[ihi] == hi)
