@@ -110,6 +110,11 @@ def neighborhood_function(
         contrib = sym.join(state, sym.dst == state.v).select(
             sym.src.alias("v"), "sk"
         )
+        # lazy checkpoint (r6): lineage is truncated per hop but the
+        # materializing job is the single terminal union below — the
+        # hop states cache on first compute there, each per-hop
+        # estimate reads its cached state, and the old one-eager-job-
+        # per-hop cadence disappears (max_hops+1 jobs -> 1)
         state = (
             state.unionByName(contrib)
             .groupBy("v")
@@ -122,7 +127,7 @@ def neighborhood_function(
                     k,
                 ).alias("sk")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         per_hop.append(
             state.agg(F.sum(_estimate(k, n_verts)).alias("nf_est")).select(

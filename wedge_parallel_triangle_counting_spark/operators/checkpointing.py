@@ -85,8 +85,26 @@ LOOP_BROADCAST_INPUT_MAX = 2_500_000
 
 def loop_layout(edges) -> tuple[str, bool]:
     """(clustering key for the symmetric edge table, broadcast the
-    per-round state?) — see the regime note above. The count is
-    metadata-fast for file-backed inputs."""
+    per-round state?) — see the regime note above.
+
+    The regime gate first consults Catalyst's size estimate
+    (metadata-only, no job — r6: on DERIVED inputs like the registry's
+    projected lineitem scans the old count() was a real scan job paid
+    at the top of every loop operator). An estimate at or below the row
+    cap in BYTES proves the row bound at >= 1 byte/row (measured
+    parquet int-pair scans estimate 3.7-22 B/row); 64x the cap proves
+    the big regime; only the gray zone pays the exact count. The
+    broadcast gate errs safe either way: a wrongly-big verdict costs
+    one co-partitioned shuffle per round, never correctness."""
+    est = None
+    try:
+        est = int(edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover — py4j/plan edge cases
+        pass
+    if est is not None and est <= LOOP_BROADCAST_INPUT_MAX:
+        return "src", True
+    if est is not None and est >= 64 * LOOP_BROADCAST_INPUT_MAX:
+        return "dst", False
     small = edges.count() <= LOOP_BROADCAST_INPUT_MAX
     return ("src" if small else "dst", small)
 

@@ -30,7 +30,10 @@ tops out near (2m)^2, past int64 at the 10^12-edge target but exact
 in 38-digit decimal (same widening as operators/quality.py).
 
 Per-round cost: one edge-sized (v, c) aggregation + a community-sized
-degree rollup + a v-partitioned argmax window; the assignment is
+degree rollup + a v-keyed argmax AGGREGATION (max over
+struct(score, -c) — lexicographic struct order reproduces the
+(score DESC, c ASC) pick with map-side partial combining, r6; the old
+row_number window sorted every (v, c) partition); the assignment is
 broadcast in the small-state regime (loop_layout) so no edge relation
 is re-exchanged per round.
 """
@@ -59,51 +62,74 @@ def louvain_move_rounds(edges: DataFrame, num_rounds: int = 2) -> DataFrame:
     )
     m2 = sym.count()  # = 2m, one driver scalar
 
-    comm = deg.select("v", F.col("v").alias("community"))
-    w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("c"))
+    # state carries (v, community, kv): the degree rides along so the
+    # per-round community rollup needs no deg join and the next round
+    # re-reads kv from the checkpointed state (r6 — one join and one
+    # broadcast build fewer per round)
+    comm = deg.select("v", F.col("v").alias("community"), "kv")
     for _ in range(num_rounds):
-        cs = (
-            comm.join(deg, "v")
-            .groupBy(F.col("community").alias("c"))
-            .agg(F.sum("kv").alias("sigma"))
-        )
-        rhs = comm.select(F.col("v").alias("u"), F.col("community").alias("c"))
-        kvc = (
-            sym.join(F.broadcast(rhs) if bcast_state else rhs, sym.dst == F.col("u"))
-            .groupBy(F.col("src").alias("v"), "c")
-            .agg(F.count("*").cast("long").alias("kvc"))
-        )
-        cur = comm.select("v", F.col("community").alias("cv"))
-        scored = (
-            kvc.join(F.broadcast(deg) if bcast_state else deg, "v")
-            .join(F.broadcast(cur) if bcast_state else cur, "v")
-            .join(F.broadcast(cs) if bcast_state else cs, "c")
-            .withColumn(
-                "sig_adj",
-                F.col("sigma")
-                - F.when(F.col("c") == F.col("cv"), F.col("kv")).otherwise(F.lit(0)),
-            )
-            .withColumn(
-                "score",
-                F.lit(m2).cast(_DEC) * F.col("kvc").cast(_DEC)
-                - F.col("kv").cast(_DEC) * F.col("sig_adj").cast(_DEC),
-            )
-        )
-        comm = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "v",
-                F.when(F.col("score") > 0, F.col("c"))
-                .otherwise(F.col("v"))
-                .alias("community"),
-            )
-            .localCheckpoint(eager=False)
+        comm = _louvain_round(sym, comm, m2, bcast_state).localCheckpoint(
+            eager=False
         )
     comm = comm.select("v", F.col("community").cast("long").alias("community"))
     comm.count()
     sym.unpersist()
     return comm
+
+
+def _louvain_round(
+    sym: DataFrame, comm: DataFrame, m2: int, bcast_state: bool
+) -> DataFrame:
+    """One synchronous local-move round over state (v, community, kv).
+
+    The argmax is a groupBy MAX over struct(score, -c, c) instead of
+    the old row_number window (r6): the same (score DESC, c ASC) pick
+    — struct ordering is lexicographic and the score is exact
+    DECIMAL(38,0) — but the aggregation combines map-side partials and
+    skips the window's in-partition sort."""
+
+    def _side(df):
+        return F.broadcast(df) if bcast_state else df
+
+    cs = comm.groupBy(F.col("community").alias("c")).agg(
+        F.sum("kv").alias("sigma")
+    )
+    rhs = comm.select(F.col("v").alias("u"), F.col("community").alias("c"))
+    kvc = (
+        sym.join(_side(rhs), sym.dst == F.col("u"))
+        .groupBy(F.col("src").alias("v"), "c")
+        .agg(F.count("*").cast("long").alias("kvc"))
+    )
+    vstate = comm.select("v", F.col("community").alias("cv"), "kv")
+    scored = (
+        kvc.join(_side(vstate), "v")
+        .join(_side(cs), "c")
+        .withColumn(
+            "sig_adj",
+            F.col("sigma")
+            - F.when(F.col("c") == F.col("cv"), F.col("kv")).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "score",
+            F.lit(m2).cast(_DEC) * F.col("kvc").cast(_DEC)
+            - F.col("kv").cast(_DEC) * F.col("sig_adj").cast(_DEC),
+        )
+    )
+    best = scored.groupBy("v").agg(
+        F.max(
+            F.struct(
+                F.col("score"), (-F.col("c")).alias("negc"), F.col("c").alias("cc")
+            )
+        ).alias("b"),
+        F.max("kv").alias("kv"),  # kv is constant per v
+    )
+    return best.select(
+        "v",
+        F.when(F.col("b.score") > 0, F.col("b.cc"))
+        .otherwise(F.col("v"))
+        .alias("community"),
+        "kv",
+    )
 
 
 def contract_communities(

@@ -57,23 +57,32 @@ def core_numbers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        nbr_vals = sym.join(state, sym.dst == state.v).select(
-            sym.src.alias("v"), "c"
-        )
-        new_state = (
-            nbr_vals.groupBy("v")
-            .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
-            .select("v", F.expr(f"CAST({_HINDEX} AS INT)").alias("c"))
-            .localCheckpoint(eager=True)
-        )
+        # ONE job per round (r6): the h-index aggregation joins the old
+        # state back (both sides hash(v)-clustered — zero extra
+        # exchange) and carries a `chg` flag, so the convergence count
+        # IS the round's materializing aggregation; the old shape paid
+        # an eager-checkpoint job plus a separate join/limit/count job.
+        new_state = _hindex_round(sym, state).localCheckpoint(eager=False)
         changed = (
-            new_state.join(state.withColumnRenamed("c", "c0"), "v")
-            .filter(F.col("c") != F.col("c0"))
-            .limit(1)
-            .count()
+            new_state.agg(F.coalesce(F.sum("chg"), F.lit(0))).collect()[0][0]
         )
         state = new_state
         if changed == 0:
             break
     sym.unpersist()
     return state.select("v", F.col("c").alias("core"))
+
+
+def _hindex_round(sym: DataFrame, state: DataFrame) -> DataFrame:
+    """One h-index round: (v, c, chg) with c the h-index of the
+    neighbor values under the previous state and chg = (c != old c)."""
+    nbr_vals = sym.join(state, sym.dst == state.v).select(
+        sym.src.alias("v"), "c"
+    )
+    return (
+        nbr_vals.groupBy("v")
+        .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
+        .select("v", F.expr(f"CAST({_HINDEX} AS INT)").alias("c"))
+        .join(state.select("v", F.col("c").alias("c0")), "v")
+        .select("v", "c", (F.col("c") != F.col("c0")).cast("long").alias("chg"))
+    )

@@ -18,10 +18,14 @@ r3-d): the symmetric edge table is clustered ONCE on hash(src) —
 `build_sym_clustered` — and the state carries the same single-key
 hash clustering out of each round's groupBy(dst), so the state⋈edges
 join is co-partitioned and the per-iteration cost is exactly ONE
-edge-sized exchange (the contribution aggregation). The L2 norm rides
-as a 1-row broadcast crossJoin; the unnormalized half is persisted
-before the norm branch reads it (HITS lesson: otherwise the raw
-aggregation lineage runs twice per iteration, measured ~2× the loop).
+edge-sized exchange (the contribution aggregation). The L2 norm is a
+1-row aggregate collected as a scalar and folded into the plan as a
+literal (r6: the normalization is an inherent global barrier, and the
+collect doubles as the iteration's single materializing action — the
+old broadcast-column norm plus per-iteration count was 2 jobs per
+iteration); the unnormalized half is persisted before the norm reads
+it (HITS lesson: otherwise the raw aggregation lineage runs twice per
+iteration, measured ~2× the loop).
 """
 
 from __future__ import annotations
@@ -82,28 +86,55 @@ def eigenvector_centrality(
             .agg(F.sum("score").alias("x"))
             .persist()
         )
+        # the norm collect is the iteration's ONLY action (r6: the old
+        # broadcast-column norm cost a broadcast-build job plus a
+        # per-iteration count to materialize the checkpoint — the
+        # collected scalar folds into the plan as a literal, bit-
+        # identical division, 2 jobs/iteration → 1). It materializes
+        # the previous round's lazily-checkpointed state, so prev_raw
+        # is released only after it ran.
         nrm = raw.agg(
             F.sqrt(F.coalesce(F.sum(F.col("x") * F.col("x")), F.lit(0.0))).alias(
                 "nrm"
             )
-        )
-        state = raw.crossJoin(F.broadcast(nrm)).select(
-            "v",
-            F.when(F.col("nrm") > 0, F.col("x") / F.col("nrm"))
-            .otherwise(F.lit(0.0))
-            .alias("score"),
-        )
-        state = loop.step(state, it, eager=False)
-        loop.history[-1]["extra"]["n"] = state.count()
+        ).collect()[0][0]
         if prev_raw is not None:
             prev_raw.unpersist()
         prev_raw = raw
+        state = raw.select(
+            "v",
+            (
+                (F.col("x") / F.lit(nrm)) if nrm and nrm > 0 else F.lit(0.0)
+            ).alias("score"),
+        )
+        state = loop.step(state, it, eager=False)
 
-    # loop.step already truncated lineage (localCheckpoint) and the
-    # history count materialized it — safe to release the scratch
-    # frames before handing the state back
-    out = state.localCheckpoint(eager=True)
+    # materialize the final (lazily checkpointed) state before the
+    # scratch frames are released; a zero-iteration call has no
+    # checkpoint yet, so sever its lineage from sym explicitly
+    if prev_raw is None:
+        state = state.localCheckpoint(eager=True)
+    else:
+        state.count()
     sym.unpersist()
     if prev_raw is not None:
         prev_raw.unpersist()
-    return out
+    return state
+
+
+def _round_frame(edges: DataFrame, npart: int) -> DataFrame:
+    """Plan-audit hook (tools/dump_plans_r06.py): one steady-state
+    iteration's lazy plan with the collected norm as a literal
+    placeholder. Not used by eigenvector_centrality()."""
+    sym = build_sym_clustered(edges, npart, key="src")
+    state = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.lit(1.0).alias("score"))
+    )
+    raw = (
+        sym.join(state.withColumnRenamed("v", "src"), "src")
+        .groupBy(F.col("dst").alias("v"))
+        .agg(F.sum("score").alias("x"))
+    )
+    return raw.select("v", (F.col("x") / F.lit(1.0)).alias("score"))

@@ -67,6 +67,37 @@ def _clean_directed(edges: DataFrame, npart: int) -> DataFrame:
     )
 
 
+def _color_round(ea: DataFrame, color: DataFrame) -> DataFrame:
+    """One forward-min coloring round with pointer jumping:
+    (v, c, chg) where c = min(c(v), min in-nbr c, c(c(v))) and chg
+    flags a decrease. One renamed projection of the color table serves
+    both the in-neighbor join and the color-of-color join, so in the
+    broadcast regime the exchange is built once and reused."""
+    lab = color.select(F.col("v").alias("bv"), F.col("c").alias("bc"))
+    upd = (
+        ea.join(lab, ea.src == F.col("bv"))
+        .groupBy("dst")
+        .agg(F.min("bc").alias("nbr_min"))
+    )
+    grand = color.join(lab, color.c == F.col("bv"), "left").select(
+        "v", F.col("bc").alias("gc")
+    )
+    new_c = F.least(
+        F.col("c"),
+        F.coalesce(F.col("nbr_min"), F.col("c")),
+        F.coalesce(F.col("gc"), F.col("c")),
+    )
+    return (
+        color.join(upd.withColumnRenamed("dst", "v"), "v", "left")
+        .join(grand, "v", "left")
+        .select(
+            "v",
+            new_c.alias("c"),
+            (new_c != F.col("c")).cast("long").alias("chg"),
+        )
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_outer: int = 20,
@@ -118,93 +149,91 @@ def strongly_connected_components(
     done: DataFrame | None = None
     step = 0  # global step counter for the checkpoint loop history
 
+    n_all = active.count()
+
     for outer in range(max_outer):
-        n_active = active.count()
+        n_active = n_all if outer == 0 else active.count()
         if n_active == 0:
             break
 
-        # --- 0. trim: peel vertices with no in-edges or no out-edges
-        # in the active subgraph — each is its own singleton SCC. The
-        # DAG periphery (tendril chains, the orderkey-derived tree
-        # fringe) disappears here in one cheap job per chain level
-        # instead of one coloring+marking FIXPOINT per level, which is
-        # what makes the outer round count small in practice (FW-BW-
-        # Trim, McLendon et al.). Trim is an optimization only — a
-        # partially-trimmed active set is still handled correctly by
-        # the coloring peel below, so hitting max_inner here just
-        # falls through.
+        # --- 0. trim: shrink the active set to vertices with BOTH an
+        # in-edge and an out-edge inside the active subgraph; every
+        # vertex peeled at any level is a singleton SCC (it cannot lie
+        # on a cycle), so the whole trimmed set is assigned in ONE
+        # batch after the fixpoint instead of one union + anti-join +
+        # count per level (r6: the per-level driver cascade was ~half
+        # of scc's job count). The DAG periphery (tendril chains, the
+        # orderkey-derived tree fringe) disappears here one chain level
+        # per job (FW-BW-Trim, McLendon et al.). Trim is an
+        # optimization only — a partially-trimmed active set is still
+        # handled correctly by the coloring peel, so hitting max_inner
+        # just falls through.
+        pre_trim, n_pre = active, n_active
         for _ in range(max_inner):
             ef = fwd.join(
                 active.withColumnRenamed("v", "src"), "src", "left_semi"
             ).join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
             srcs = ef.select(F.col("src").alias("v")).distinct()
             dsts = ef.select(F.col("dst").alias("v")).distinct()
-            nontrivial = srcs.join(dsts, "v", "left_semi")
-            trivial = active.join(nontrivial, "v", "left_anti").localCheckpoint(
+            new_active = srcs.join(dsts, "v", "left_semi").localCheckpoint(
                 eager=False
             )
-            n_triv = trivial.count()
-            if n_triv == 0:
+            n_new = new_active.count()
+            if n_new == n_active:
+                break  # new ⊆ old with equal count ⇒ identical set
+            active, n_active = new_active, n_new
+            if n_active == 0:
                 break
-            assigned = trivial.select("v", F.col("v").alias("scc"))
+        if n_active < n_pre:
+            assigned = pre_trim.join(active, "v", "left_anti").select(
+                "v", F.col("v").alias("scc")
+            )
             done = (
                 assigned
                 if done is None
                 else done.unionByName(assigned).localCheckpoint(eager=False)
             )
-            active = active.join(trivial, "v", "left_anti").localCheckpoint(
-                eager=False
-            )
-        n_active = active.count()
         if n_active == 0:
             break
 
-        # edges of the active subgraph: two semi-joins against the
-        # (shrinking) active set; re-clustered once per outer round
-        # and reused by every inner round
-        ea = (
-            fwd.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .repartition(npart, "dst")
-            .persist()
-        )
-        ra = (
-            rev.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
-            .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .repartition(npart, "dst")
-            .persist()
-        )
+        # edges of the active subgraph: when the active set is still
+        # the WHOLE graph (nothing peeled yet — outer round 0 of a
+        # cycle-rich graph), the prepared fwd/rev tables are reused
+        # as-is (both already dst-clustered and persisted); otherwise
+        # two semi-joins against the shrunken active set, re-clustered
+        # once per outer round and reused by every inner round
+        if n_active == n_all:
+            ea, ra, own_ea = fwd, rev, False
+        else:
+            ea = (
+                fwd.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
+                .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .repartition(npart, "dst")
+                .persist()
+            )
+            ra = (
+                rev.join(active.withColumnRenamed("v", "src"), "src", "left_semi")
+                .join(active.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                .select("src", "dst")
+                .repartition(npart, "dst")
+                .persist()
+            )
+            own_ea = True
 
         # --- 1. forward-min coloring fixpoint --------------------------
+        # min over {v} ∪ in-neighbors' colors ∪ color-of-color (POINTER
+        # JUMPING, r6): c(c(v)) is always an ancestor's id, so the
+        # fixpoint is still exactly the min-ancestor coloring (the
+        # Orzan invariant the peel relies on) while chains contract in
+        # ~log(depth) rounds. The convergence count rides the round's
+        # own materializing aggregation via a carried chg flag.
         color = active.select("v", F.col("v").alias("c"))
         for it in range(max_inner):
-            # min over in-neighbors' colors, folded into own color
-            upd = (
-                ea.join(
-                    color.select(F.col("v").alias("src"), F.col("c").alias("cs")),
-                    "src",
-                )
-                .groupBy("dst")
-                .agg(F.min("cs").alias("nbr_min"))
-            )
-            new_color = (
-                color.join(upd.withColumnRenamed("dst", "v"), "v", "left")
-                .select(
-                    "v",
-                    F.least(
-                        F.col("c"), F.coalesce(F.col("nbr_min"), F.col("c"))
-                    ).alias("c"),
-                )
-            )
-            new_color = loop.step(new_color, step, eager=False)
+            new_color = loop.step(_color_round(ea, color), step, eager=False)
             step += 1
             changed = (
-                new_color.alias("a")
-                .join(color.alias("b"), "v")
-                .filter(F.col("a.c") != F.col("b.c"))
-                .count()
+                new_color.agg(F.coalesce(F.sum("chg"), F.lit(0))).collect()[0][0]
             )
             loop.history[-1]["extra"].update(
                 {"outer": outer, "phase": "color", "changed": changed}
@@ -217,6 +246,7 @@ def strongly_connected_components(
                 f"scc coloring did not converge in {max_inner} rounds "
                 f"(outer {outer}); raise max_inner"
             )
+        color = color.select("v", "c")
 
         # --- 2. backward mark: v reaches its color root through
         # same-color vertices ------------------------------------------
@@ -262,9 +292,9 @@ def strongly_connected_components(
         active = active.join(marked.select("v"), "v", "left_anti").localCheckpoint(
             eager=False
         )
-        # one action materializes both lazy checkpoints for the round
-        ea.unpersist()
-        ra.unpersist()
+        if own_ea:  # fwd/rev (outer round 0 full-graph reuse) stay cached
+            ea.unpersist()
+            ra.unpersist()
 
     else:
         if active.count() > 0:
