@@ -250,15 +250,17 @@ def scc_trim_level():
         .distinct()
         .repartition(NPART, "v")
     )
-    if hasattr(S, "_trim_level"):
-        return S._trim_level(fwd, active)
     ef = fwd.join(active.withColumnRenamed("v", "src"), "src", "left_semi").join(
         active.withColumnRenamed("v", "dst"), "dst", "left_semi"
     )
     srcs = ef.select(F.col("src").alias("v")).distinct()
     dsts = ef.select(F.col("dst").alias("v")).distinct()
-    nontrivial = srcs.join(dsts, "v", "left_semi")
-    return active.join(nontrivial, "v", "left_anti")
+    if TAG == "before":
+        nontrivial = srcs.join(dsts, "v", "left_semi")
+        return active.join(nontrivial, "v", "left_anti")
+    # r6 shape: one level only shrinks the active set (the peeled
+    # singletons are assigned in one batch after the fixpoint)
+    return srcs.join(dsts, "v", "left_semi")
 
 
 def louvain_round():
@@ -271,7 +273,8 @@ def louvain_round():
     )
     m2 = 300000  # plan shape only; the real operator uses sym.count()
     if hasattr(L, "_louvain_round"):
-        return L._louvain_round(sym, deg, deg.select("v", F.col("v").alias("community")), m2, True)
+        comm0 = deg.select("v", F.col("v").alias("community"), "kv")
+        return L._louvain_round(sym, comm0, m2, True)
     comm = deg.select("v", F.col("v").alias("community"))
     w = Window.partitionBy("v").orderBy(F.desc("score"), F.asc("c"))
     cs = (

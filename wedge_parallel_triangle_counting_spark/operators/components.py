@@ -249,17 +249,26 @@ def _hashmin_round(
         .groupBy("v")
         .agg(F.min("c").alias("nbr_min"))
     )
+    # two jump levels: label² and label³ of v. Each level is one more
+    # vertex-sized join against the SAME broadcast/exchange, and the
+    # per-round coverage radius recurrence goes from 2r to ~3r —
+    # rounds ~log₃(diameter). Same invariant/fixpoint argument as one
+    # level (every jump target is still an id inside the component).
     grand = labels.join(
         rhs, labels.component == F.col("bv"), "left"
     ).select("v", F.col("bc").alias("gc"))
+    grand2 = grand.join(
+        rhs, grand.gc == F.col("bv"), "left"
+    ).select("v", "gc", F.col("bc").alias("ggc"))
     new_component = F.least(
         F.col("component"),
         F.coalesce(F.col("nbr_min"), F.col("component")),
         F.coalesce(F.col("gc"), F.col("component")),
+        F.coalesce(F.col("ggc"), F.col("component")),
     )
     return (
         labels.join(nbr_min, "v", "left")
-        .join(grand, "v", "left")
+        .join(grand2, "v", "left")
         .select(
             "v",
             new_component.alias("component"),

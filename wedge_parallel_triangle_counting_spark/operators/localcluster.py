@@ -75,10 +75,12 @@ def ppr_push(
     spark = edges.sparkSession
     npart = loop_partitions(spark)
     sym = build_sym_clustered(edges, npart, key="src").persist()
+    # lazy: the seed/seed-degree lookup right below is the first action
+    # and materializes it — no dedicated checkpoint job (r6)
     deg = (
         sym.groupBy(F.col("src").alias("v"))
         .agg(F.count("*").cast("long").alias("kv"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if seed is None:
         row = deg.orderBy(F.desc("kv"), F.asc("v")).first()
@@ -173,6 +175,10 @@ def sweep_cut(
     )
     m2 = clean.count() * 2
 
+    # lazy: all three consumers (the two rk joins and the final output)
+    # materialize inside the single terminal job, which computes the
+    # window once and caches it — the old eager checkpoint was a
+    # dedicated job (r6)
     ranked = (
         push_state.filter(F.col("p") > 0)
         .join(deg, "v")
@@ -181,7 +187,7 @@ def sweep_cut(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("q"), F.asc("v"))),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rk = ranked.select("v", "rank")
     ev = (
