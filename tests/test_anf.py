@@ -317,3 +317,35 @@ def test_rmat_deterministic_and_skewed(spark):
     mx = deg.agg(F.max("count")).collect()[0][0]
     mean = 2 * len(a) / 128
     assert mx > 4 * mean
+
+
+def test_coreness_round_cap_is_exact_h_power(spark):
+    """r6 double-step loop: core_numbers(max_rounds=k) must return
+    EXACTLY H^k of the degree init on an unconverged graph (the
+    unrolled oracle's contract), including odd k. A 20-path converges
+    slowly (the 1s creep inward one level per application), so k=3 and
+    k=4 are both mid-convergence."""
+    from pyspark.sql import functions as F
+
+    from wedge_parallel_triangle_counting_spark.operators.coreness import (
+        _hindex_step,
+        core_numbers,
+    )
+    from wedge_parallel_triangle_counting_spark.operators.graph import (
+        build_sym_clustered,
+    )
+
+    pairs = [(i, i + 1) for i in range(20)]
+    for k in (3, 4):
+        got = {
+            r.v: r.core
+            for r in core_numbers(edges_df(spark, pairs), max_rounds=k).collect()
+        }
+        sym = build_sym_clustered(edges_df(spark, pairs), 4, key="dst")
+        state = sym.groupBy(F.col("dst").alias("v")).agg(
+            F.count(F.lit(1)).cast("int").alias("c")
+        )
+        for _ in range(k):
+            state = _hindex_step(sym, state)
+        want = {r.v: r.c for r in state.collect()}
+        assert got == want, (k, got, want)

@@ -799,3 +799,27 @@ def test_louvain_level2_coarsens_and_improves_modularity(spark):
     # supergraph loop weight equals intra-community edges: conservation
     total_w = sup.agg(F.sum("weight")).first()[0]
     assert total_w == len(edges)
+
+
+@pytest.mark.parametrize("bcast", [True, False])
+def test_components_pointer_jumping_contracts_chains(spark, bcast, monkeypatch):
+    """r6 hashmin pointer jumping: an 80-edge chain converges within 12
+    rounds (plain hashmin needs ~80 — the max_iters cap would return a
+    partial labeling and the all-zero assertion would fail), in both
+    the broadcast-state and shuffled-state regimes, with the exact
+    min-id fixpoint."""
+    import wedge_parallel_triangle_counting_spark.operators.checkpointing as CP
+    import wedge_parallel_triangle_counting_spark.operators.components as C
+
+    if not bcast:
+        monkeypatch.setattr(CP, "LOOP_BROADCAST_INPUT_MAX", 0)
+        monkeypatch.setattr(C, "LOOP_BROADCAST_INPUT_MAX", 0)
+    chain = [(i, i + 1) for i in range(80)]
+    got = {
+        r.v: r.component
+        for r in connected_components(
+            edges_df(spark, chain), strategy="hashmin", max_iters=12
+        ).collect()
+    }
+    assert len(got) == 81
+    assert set(got.values()) == {0}

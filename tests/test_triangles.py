@@ -225,3 +225,61 @@ def test_hub_routing_never_collects_id_lists():
     src = inspect.getsource(T)
     assert "F.collect_list" not in src  # docstring mentions are fine
     assert ".isin(" not in src
+
+
+def test_wedge_stats_gate_row_overflow_falls_back(spark, monkeypatch):
+    """r6 fused gate: an optimistic statistics-gated entry whose ACTUAL
+    canonical edge count exceeds the broadcast budget must abort to the
+    distributed lane (fast prep + semi-join closure) and still count
+    exactly. BROADCAST_MAX_EDGES is shrunk below K4's 6 canonical edges
+    so the tiny fixture takes the overflow path."""
+    import wedge_parallel_triangle_counting_spark.operators.triangles as T
+
+    from .conftest import K4
+
+    monkeypatch.setattr(T, "BROADCAST_MAX_EDGES", 4)
+    out = T.triangle_count(edges_df(spark, K4), strategy="wedge").collect()[0][0]
+    assert out == 4
+
+
+def test_hub_topk_and_bitmap_dense_sparse_agree():
+    """ADVICE r5: pin the dense (bincount / byte-membership) and sparse
+    (np.unique / clipped-searchsorted) paths of _numpy_top_hub_ids and
+    build_hub_bitmap to identical outputs — including ids beyond 2^40
+    (forcing the sparse branch) and top-k count ties."""
+    import numpy as np
+
+    import wedge_parallel_triangle_counting_spark.operators.triangles as T
+    from wedge_parallel_triangle_counting_spark.functions import wedge as wk
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        n = int(rng.integers(5, 40))
+        m = int(rng.integers(5, 120))
+        a = rng.integers(0, n, size=m).astype(np.int64)
+        b = rng.integers(0, n, size=m).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            continue
+        for hub_k in (1, 3, 8):
+            dense = T._numpy_top_hub_ids(a, b, hub_k)
+            # sparse reference: same selection semantics, forced by
+            # shifting ids beyond the dense-domain cap (> 2^40)
+            shift = np.int64(1) << np.int64(41)
+            sparse = T._numpy_top_hub_ids(a + shift, b + shift, hub_k) - shift
+            assert np.array_equal(dense, sparse), (trial, hub_k)
+            bm_dense = wk.build_hub_bitmap(a, b, dense)
+            bm_sparse = wk.build_hub_bitmap(a + shift, b + shift, dense + shift)
+            assert np.array_equal(bm_dense, bm_sparse), (trial, hub_k)
+        # count-tie case: duplicate every edge so all counts tie in pairs
+        aa, bb = np.concatenate([a, a]), np.concatenate([b, b])
+        d2 = T._numpy_top_hub_ids(aa, bb, 4)
+        s2 = T._numpy_top_hub_ids(aa + shift, bb + shift, 4) - shift
+        assert np.array_equal(d2, s2)
+    # out-of-range hub ids: the bitmap guard must drop them, not raise
+    a = np.array([0, 1, 2], dtype=np.int64)
+    b = np.array([1, 2, 0], dtype=np.int64)
+    hubs = np.array([-5, 0, 1, 999999], dtype=np.int64)
+    bm = wk.build_hub_bitmap(a, b, np.sort(hubs))
+    assert bm.shape == (((4 * 4) + 63) // 64,)

@@ -231,13 +231,15 @@ def _hashmin_round(
     component min — so the returned labeling is identical to the plain
     hashmin round's.
 
-    The label table is broadcast ONCE per round in the small-state
-    regime (the same exchange serves the neighbor join and the
-    grandparent join via exchange reuse); in the big-state regime the
-    grandparent join costs one extra vertex-sized exchange per round —
-    bought back many times over by the halved round count. The output
-    carries a `chg` flag so the convergence count rides the round's own
-    materializing aggregation instead of a separate new⋈old join job.
+    The neighbor and jump joins all consume the SAME renamed projection
+    of the label table, so in the small-state regime the three
+    broadcast nodes share one canonical subtree and AQE's runtime stage
+    cache builds the broadcast once (the static explain still prints
+    three nodes); in the big-state regime the jump joins cost extra
+    vertex-sized exchanges per round — bought back many times over by
+    the log-round count. The output carries a `chg` flag so the
+    convergence count rides the round's own materializing aggregation
+    instead of a separate new⋈old join job.
     """
     # one renamed projection serves BOTH joins so the broadcast
     # exchange is built once per round and reused (identical subtree)

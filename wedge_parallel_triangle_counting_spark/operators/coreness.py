@@ -56,13 +56,21 @@ def core_numbers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("c"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        # ONE job per round (r6): the h-index aggregation joins the old
-        # state back (both sides hash(v)-clustered — zero extra
-        # exchange) and carries a `chg` flag, so the convergence count
-        # IS the round's materializing aggregation; the old shape paid
-        # an eager-checkpoint job plus a separate join/limit/count job.
-        new_state = _hindex_round(sym, state).localCheckpoint(eager=False)
+    # TWO h-index steps per materialized job (r6): the step sequence
+    # H, H², H³… is unchanged (total steps still capped at max_rounds,
+    # so an unconverged graph returns exactly H^max_rounds like the
+    # unrolled oracle), but the driver pays half the barriers. The
+    # convergence flag compares the SECOND application against its
+    # input: H(mid) == mid ⇒ mid is the fixpoint ⇒ the returned state
+    # equals it. The intermediate step's groupBy exchange is shared by
+    # its two consumers via exchange reuse. The old shape paid an
+    # eager-checkpoint job plus a separate join/limit/count job per
+    # single step.
+    remaining = max_rounds
+    while remaining > 0:
+        mid = _hindex_step(sym, state) if remaining >= 2 else state
+        new_state = _hindex_round(sym, mid).localCheckpoint(eager=False)
+        remaining -= 2 if remaining >= 2 else 1
         changed = (
             new_state.agg(F.coalesce(F.sum("chg"), F.lit(0))).collect()[0][0]
         )
@@ -73,9 +81,8 @@ def core_numbers(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     return state.select("v", F.col("c").alias("core"))
 
 
-def _hindex_round(sym: DataFrame, state: DataFrame) -> DataFrame:
-    """One h-index round: (v, c, chg) with c the h-index of the
-    neighbor values under the previous state and chg = (c != old c)."""
+def _hindex_step(sym: DataFrame, state: DataFrame) -> DataFrame:
+    """One plain h-index application: (v, c)."""
     nbr_vals = sym.join(state, sym.dst == state.v).select(
         sym.src.alias("v"), "c"
     )
@@ -83,6 +90,14 @@ def _hindex_round(sym: DataFrame, state: DataFrame) -> DataFrame:
         nbr_vals.groupBy("v")
         .agg(F.sort_array(F.collect_list("c"), asc=False).alias("vals"))
         .select("v", F.expr(f"CAST({_HINDEX} AS INT)").alias("c"))
+    )
+
+
+def _hindex_round(sym: DataFrame, state: DataFrame) -> DataFrame:
+    """One h-index round: (v, c, chg) with c the h-index of the
+    neighbor values under the previous state and chg = (c != old c)."""
+    return (
+        _hindex_step(sym, state)
         .join(state.select("v", F.col("c").alias("c0")), "v")
         .select("v", "c", (F.col("c") != F.col("c0")).cast("long").alias("chg"))
     )

@@ -71,8 +71,9 @@ def _color_round(ea: DataFrame, color: DataFrame) -> DataFrame:
     """One forward-min coloring round with pointer jumping:
     (v, c, chg) where c = min(c(v), min in-nbr c, c(c(v))) and chg
     flags a decrease. One renamed projection of the color table serves
-    both the in-neighbor join and the color-of-color join, so in the
-    broadcast regime the exchange is built once and reused."""
+    both the in-neighbor join and the color-of-color join, so when the
+    planner broadcasts it the two broadcast nodes share one canonical
+    subtree and AQE's runtime stage cache builds it once."""
     lab = color.select(F.col("v").alias("bv"), F.col("c").alias("bc"))
     upd = (
         ea.join(lab, ea.src == F.col("bv"))

@@ -420,7 +420,12 @@ def _numpy_top_hub_ids(src: np.ndarray, dst: np.ndarray, hub_k: int) -> np.ndarr
         min_id = min(int(src.min()), int(dst.min()))
     else:  # degenerate input — the unique path handles it cheaply
         max_id, min_id = 0, -1
-    if 0 <= min_id and max_id <= max(4 * (len(src) + len(dst)), 1 << 20):
+    # same absolute 1<<28 cap as build_hub_bitmap (ADVICE r5): without
+    # it a sparse-but-in-range id domain could transiently allocate
+    # ~64 B/edge of bincount buffers at the BROADCAST_MAX_EDGES scale
+    if 0 <= min_id and max_id <= min(
+        max(4 * (len(src) + len(dst)), 1 << 20), 1 << 28
+    ):
         counts_all = np.bincount(src, minlength=max_id + 1)
         counts_all += np.bincount(dst, minlength=max_id + 1)
         present = np.nonzero(counts_all)[0]
