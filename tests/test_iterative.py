@@ -823,3 +823,57 @@ def test_components_pointer_jumping_contracts_chains(spark, bcast, monkeypatch):
     }
     assert len(got) == 81
     assert set(got.values()) == {0}
+
+
+def test_localcheckpoint_sanitizer_caps_size_estimate(spark):
+    """r6: Dataset.localCheckpoint snapshots the pre-checkpoint plan's
+    size estimate into the LogicalRDD leaf, and join estimates are the
+    PRODUCT of child sizes — so a loop whose round references the
+    carried state k>1 times multiplies the estimate's bit length by k
+    every round. Unchecked, the driver ends up doing BigInteger
+    multiplication on multi-megabit numbers inside every stats walk
+    (measured: a 500-vertex hashmin loop's round wall went 0.5 s ->
+    120 s by round 11). The session-installed sanitizer rebuilds the
+    leaf without origin stats whenever the captured estimate exceeds
+    2^64 bytes; this pins (a) the estimate stays <= 64 bits through an
+    8-round triple-self-join chain and (b) the data is untouched."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(F.col("id").alias("v"), F.col("id").alias("c"))
+    state = df.localCheckpoint(eager=True)
+    for _ in range(8):
+        a = state.select(F.col("v").alias("av"), F.col("c").alias("ac"))
+        b = state.select(F.col("v").alias("bv"), F.col("c").alias("bc"))
+        rnd = (
+            state.join(a, state.v == F.col("av"))
+            .join(b, state.v == F.col("bv"))
+            .select("v", "c")
+        )
+        state = rnd.localCheckpoint(eager=True)
+    plan = state._jdf.queryExecution().analyzed()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    size = plan.stats().sizeInBytes()  # py4j converts sane BigInts to int
+    assert isinstance(size, int) and size.bit_length() <= 64, size
+    assert state.count() == 100
+    assert state.agg(F.sum("c")).first()[0] == 4950
+
+
+def test_lazy_localcheckpoint_defused_but_persisted(spark):
+    """r6: a LAZY localCheckpoint's RDD must carry NO checkpointData
+    (its doCheckpoint on a broadcast-exchange thread deadlocks the JVM
+    against DAGScheduler.getCacheLocs — lock-order inversion on the
+    global RDDCheckpointData$ monitor, jstack-confirmed) while keeping
+    the persistence that localCheckpoint sets BEFORE marking, so
+    caching behavior is unchanged. Eager checkpoints are untouched."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).select(F.col("id").alias("v"))
+    lazy = df.localCheckpoint(eager=False)
+    plan = lazy._jdf.queryExecution().analyzed()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    assert not plan.rdd().checkpointData().isDefined()
+    assert plan.rdd().getStorageLevel().useMemory()
+    assert plan.rdd().getStorageLevel().useDisk()
+    assert lazy.count() == 500
+    eager = df.localCheckpoint(eager=True)
+    assert eager._jdf.queryExecution().analyzed().rdd().checkpointData().isDefined()
