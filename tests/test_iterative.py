@@ -221,14 +221,23 @@ def test_pagerank_topics_matches_independent_runs(spark):
         assert abs(sum(by_topic[t].values()) - 1.0) < 1e-9
 
 
-def test_pagerank_topics_work_independent_of_topic_count(spark):
+def test_pagerank_topics_work_independent_of_topic_count(spark, monkeypatch):
     """The batching claim: T topic vectors ride ONE loop — the number
     of Spark jobs and stages must not grow with T (a per-topic loop
     would multiply both). Compared via the status tracker on job
-    groups around a T=1 and a T=4 run of the same graph/iterations."""
+    groups around a T=1 and a T=4 run of the same graph/iterations.
+
+    The lineage depth bound (session._EAGER_EVERY: every Nth lazy
+    checkpoint process-wide is eager, +1 job when it lands inside a
+    run) is pushed out of reach — it would add a counter-position-
+    dependent job to one run and break the T-independence equality."""
     from wedge_parallel_triangle_counting_spark.operators.pagerank import (
         pagerank_topics,
     )
+
+    import wedge_parallel_triangle_counting_spark.session as S
+
+    monkeypatch.setattr(S, "_EAGER_EVERY", 10**9)
 
     pairs = _random_directed(7, 40, 120)
     sc = spark.sparkContext
@@ -803,14 +812,16 @@ def test_louvain_level2_coarsens_and_improves_modularity(spark):
 
 @pytest.mark.parametrize("bcast", [True, False])
 def test_components_pointer_jumping_contracts_chains(spark, bcast, monkeypatch):
-    """r6 hashmin pointer jumping: an 80-edge chain converges within 12
-    rounds (plain hashmin needs ~80 — the max_iters cap would return a
+    """r6 hashmin pointer jumping (HASHMIN_JUMP, opt-in for
+    high-diameter inputs): an 80-edge chain converges within 12 rounds
+    (plain hashmin needs ~80 — the max_iters cap would return a
     partial labeling and the all-zero assertion would fail), in both
     the broadcast-state and shuffled-state regimes, with the exact
     min-id fixpoint."""
     import wedge_parallel_triangle_counting_spark.operators.checkpointing as CP
     import wedge_parallel_triangle_counting_spark.operators.components as C
 
+    monkeypatch.setattr(C, "HASHMIN_JUMP", True)
     if not bcast:
         monkeypatch.setattr(CP, "LOOP_BROADCAST_INPUT_MAX", 0)
         monkeypatch.setattr(C, "LOOP_BROADCAST_INPUT_MAX", 0)
@@ -858,15 +869,22 @@ def test_localcheckpoint_sanitizer_caps_size_estimate(spark):
     assert state.agg(F.sum("c")).first()[0] == 4950
 
 
-def test_lazy_localcheckpoint_defused_but_persisted(spark):
+def test_lazy_localcheckpoint_defused_but_persisted(spark, monkeypatch):
     """r6: a LAZY localCheckpoint's RDD must carry NO checkpointData
     (its doCheckpoint on a broadcast-exchange thread deadlocks the JVM
     against DAGScheduler.getCacheLocs — lock-order inversion on the
     global RDDCheckpointData$ monitor, jstack-confirmed) while keeping
     the persistence that localCheckpoint sets BEFORE marking, so
-    caching behavior is unchanged. Eager checkpoints are untouched."""
+    caching behavior is unchanged. Eager checkpoints are untouched.
+
+    _EAGER_EVERY is pushed out of reach: every Nth lazy checkpoint
+    process-wide legitimately stays a real eager checkpoint (the
+    lineage depth bound), which would make this assert flaky."""
     from pyspark.sql import functions as F
 
+    import wedge_parallel_triangle_counting_spark.session as S
+
+    monkeypatch.setattr(S, "_EAGER_EVERY", 10**9)
     df = spark.range(500).select(F.col("id").alias("v"))
     lazy = df.localCheckpoint(eager=False)
     plan = lazy._jdf.queryExecution().analyzed()

@@ -53,6 +53,13 @@ STAR_DEDUP_ROUNDS = False
 # the 2m-row neighbor relation (groupBy + join back) to one.
 STAR_ROUND_IMPL = "window"
 
+# Whether hashmin rounds add the pointer-jumping grandparent term
+# (label(label(v))). OFF by default: on low-diameter graphs the jump
+# join removes no rounds and costs ~2 s at sf0.1 (interleaved A/B in
+# _hashmin_round's docstring); turn on for known long-chain inputs,
+# where it converts O(diameter) rounds into O(log diameter).
+HASHMIN_JUMP = False
+
 
 def _canonical_edges(edges: DataFrame) -> DataFrame:
     """Undirected pair set, canonical (large, small) per row — built
@@ -215,32 +222,39 @@ def _components_hashmin(
 
 
 def _hashmin_round(
-    sym: DataFrame, labels: DataFrame, bcast_state: bool
+    sym: DataFrame, labels: DataFrame, bcast_state: bool, jump: bool = None
 ) -> DataFrame:
-    """One hashmin round with POINTER JUMPING (r6 optimization):
-    new(v) = min(label(v), min_{u~v} label(u), label(label(v))).
+    """One hashmin round with a carried `chg` flag, and optional
+    POINTER JUMPING (both r6):
 
-    The grandparent term contracts label chains like the classic
-    Shiloach-Vishkin shortcut, so convergence needs ~log(diameter)
-    rounds instead of diameter (measured 8 → 5 rounds on the sf0.1
-    bench graph; the gap widens with diameter). The fixpoint is
-    unchanged — label values are always vertex ids inside the same
-    component (neighbors' labels and labels-of-labels both are), labels
-    only decrease and are bounded below by the component min, and at a
-    fixpoint labels are constant across every edge, hence equal to the
-    component min — so the returned labeling is identical to the plain
-    hashmin round's.
+    - `chg` fusion (always on): the round join already sees both the
+      old and the new label, so the convergence count rides the
+      round's own materializing aggregation instead of the separate
+      new⋈old join job r5 paid per round. Interleaved same-window A/B
+      vs the round-5 tree at sf0.1: components 6.5 → 5.3 s.
+    - `jump` (default HASHMIN_JUMP=False): adds the grandparent term,
+      new(v) = min(label(v), min_{u~v} label(u), label(label(v))) —
+      the Shiloach-Vishkin shortcut that contracts label chains so
+      high-diameter graphs converge in ~log(diameter) rounds instead
+      of diameter (an 80-chain: ≤12 rounds vs 80). The fixpoint is
+      unchanged — label values are always vertex ids inside the same
+      component, labels only decrease and are bounded below by the
+      component min, and at a fixpoint labels are constant across
+      every edge, hence equal to the component min.
 
-    The neighbor and jump joins all consume the SAME renamed projection
-    of the label table, so in the small-state regime the three
-    broadcast nodes share one canonical subtree and AQE's runtime stage
-    cache builds the broadcast once (the static explain still prints
-    three nodes); in the big-state regime the jump joins cost extra
-    vertex-sized exchanges per round — bought back many times over by
-    the log-round count. The output carries a `chg` flag so the
-    convergence count rides the round's own materializing aggregation
-    instead of a separate new⋈old join job.
+    Why jumping is OFF by default: on low-diameter graphs — the web
+    regime, and the bench graph, where min-propagation is breadth-
+    bound — the jump join removes NO rounds and its per-round cost is
+    real: interleaved same-window A/B at sf0.1 measured plain+chg
+    5.3 s, 1 jump level 7.3 s, 2 levels worse still (and r5 6.5 s
+    between them). Callers with known long-chain inputs (incremental
+    snapshots of path-heavy graphs, synthetic chains) pass
+    jump=True / set HASHMIN_JUMP; above AUTO_HASHMIN_MAX_EDGES the
+    auto strategy switches to star, whose round count is ~log log n
+    regardless of diameter.
     """
+    if jump is None:
+        jump = HASHMIN_JUMP
     # one renamed projection serves BOTH joins so the broadcast
     # exchange is built once per round and reused (identical subtree)
     lab = labels.select(F.col("v").alias("bv"), F.col("component").alias("bc"))
@@ -251,31 +265,22 @@ def _hashmin_round(
         .groupBy("v")
         .agg(F.min("c").alias("nbr_min"))
     )
-    # two jump levels: label² and label³ of v. Each level is one more
-    # vertex-sized join against the SAME broadcast/exchange, and the
-    # per-round coverage radius recurrence goes from 2r to ~3r —
-    # rounds ~log₃(diameter). Same invariant/fixpoint argument as one
-    # level (every jump target is still an id inside the component).
-    grand = labels.join(
-        rhs, labels.component == F.col("bv"), "left"
-    ).select("v", F.col("bc").alias("gc"))
-    grand2 = grand.join(
-        rhs, grand.gc == F.col("bv"), "left"
-    ).select("v", "gc", F.col("bc").alias("ggc"))
-    new_component = F.least(
+    terms = [
         F.col("component"),
         F.coalesce(F.col("nbr_min"), F.col("component")),
-        F.coalesce(F.col("gc"), F.col("component")),
-        F.coalesce(F.col("ggc"), F.col("component")),
-    )
-    return (
-        labels.join(nbr_min, "v", "left")
-        .join(grand2, "v", "left")
-        .select(
-            "v",
-            new_component.alias("component"),
-            (new_component != F.col("component")).cast("long").alias("chg"),
-        )
+    ]
+    out = labels.join(nbr_min, "v", "left")
+    if jump:
+        grand = labels.join(
+            rhs, labels.component == F.col("bv"), "left"
+        ).select("v", F.col("bc").alias("gc"))
+        terms.append(F.coalesce(F.col("gc"), F.col("component")))
+        out = out.join(grand, "v", "left")
+    new_component = F.least(*terms)
+    return out.select(
+        "v",
+        new_component.alias("component"),
+        (new_component != F.col("component")).cast("long").alias("chg"),
     )
 
 

@@ -16,6 +16,16 @@ from pyspark.sql import DataFrame, SparkSession
 # bogus (no input is that large); see _sanitize_checkpoint_stats.
 _SANE_SIZE_BITS = 64
 
+# Every Nth LAZY localCheckpoint process-wide stays a real eager
+# checkpoint, bounding defused-chain RDD lineage depth (see
+# _defuse_lazy_checkpoint's depth-bound note). Sequential loops are the
+# only producers of long chains, so the process-wide counter bounds
+# each chain's depth to ~N rounds; N=8 keeps a 4x margin under the
+# ~60-round depth where task deserialization was measured to survive,
+# at the cost of one extra job per 8 lazy rounds.
+_EAGER_EVERY = 8
+_lazy_counter = [0]
+
 
 def _sanitize_checkpoint_stats(df: DataFrame) -> DataFrame:
     """Cap the size estimate a localCheckpoint'ed frame carries forward.
@@ -117,7 +127,18 @@ def _defuse_lazy_checkpoint(df: DataFrame) -> DataFrame:
       DAG walk per job — microseconds at realistic round counts.
 
     Eager checkpoints are left untouched: their materialization (and
-    doCheckpoint) completes inside the call on the action thread."""
+    doCheckpoint) completes inside the call on the action thread.
+
+    Depth bound: defused frames retain RDD lineage, so an unbounded
+    chain of them grows the serialized task object graph without limit
+    — at ~120 chained PageRank iterations Java task DESERIALIZATION
+    overflows the executor thread stack (ObjectInputStream recursion;
+    reproduced, ~60 iterations survive). The wrapper therefore leaves
+    every `_EAGER_EVERY`-th lazy checkpoint as a REAL eager checkpoint:
+    eager materialization runs on the action thread while every other
+    frame in the plan is unmarked, so it cannot hit the broadcast-
+    thread deadlock, and the completed checkpoint truncates RDD
+    lineage, bounding chain depth to `_EAGER_EVERY` rounds."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRDD":
@@ -163,10 +184,16 @@ def _install_localcheckpoint_sanitizer() -> None:
         orig = cls.__dict__["localCheckpoint"]
 
         def _local_checkpoint(self, eager: bool = True, _orig=orig):
-            out = _orig(self, eager=eager)
             if not eager:
-                out = _defuse_lazy_checkpoint(out)
-            return _sanitize_checkpoint_stats(out)
+                _lazy_counter[0] += 1
+                if _lazy_counter[0] % _EAGER_EVERY == 0:
+                    # periodic REAL eager checkpoint: bounds the defused
+                    # chains' RDD lineage depth (see _defuse_lazy_checkpoint)
+                    return _sanitize_checkpoint_stats(_orig(self, eager=True))
+                return _sanitize_checkpoint_stats(
+                    _defuse_lazy_checkpoint(_orig(self, eager=False))
+                )
+            return _sanitize_checkpoint_stats(_orig(self, eager=True))
 
         _local_checkpoint.__doc__ = orig.__doc__
         cls.localCheckpoint = _local_checkpoint
@@ -206,6 +233,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 8 MB thread stacks: deep-but-bounded RDD graphs (iterative
+        # loops between periodic checkpoints) recurse in Java task
+        # (de)serialization and DAG walks; the JVM default (~1 MB) has
+        # little margin. Virtual reservation only — no runtime cost.
+        .config("spark.driver.extraJavaOptions", "-Xss8m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
